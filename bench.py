@@ -1,0 +1,114 @@
+"""Benchmark: WAM7 CHOMP solves/s/chip on the reference workload shape.
+
+Workload (BASELINE.md): WAM7 (n=7 DOF), n_points=101 (m=99 moving),
+100 iterations, λ=100, obs_factor=500, 16 spheres, 1 SDF — the
+test_wam7.py scenario.  The TPU path solves a batch of independent
+problems (perturbed starts/goals) in one jitted scan; throughput =
+batch · repeats / wall-clock.
+
+Baseline: the same single problem solved by the same math jitted for
+one CPU core (XLA CPU ≈ optimized single-thread C, the reference's
+execution model — the reference itself publishes no numbers,
+BASELINE.md).  vs_baseline = TPU solves/s ÷ CPU solves/s.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_ITER = 100
+N_POINTS = 101
+BATCH = 256
+
+
+def build(mod_dtype, n_points):
+    import jax.numpy as jnp
+
+    import or_cdchomp_tpu as oc
+    from or_cdchomp_tpu.api import KinBody, Robot
+
+    mod = oc.CHOMPModule(dtype=mod_dtype)
+    # table + mug scene in front of the arm (test_wam7.py:23-33 analog)
+    table = KinBody("table", oc.Scene.build(
+        boxes=[((0.0, 0.0, 0.7, 0, 0, 0, 1), (0.35, 0.75, 0.02)),
+               ((0.0, 0.0, 0.35, 0, 0, 0, 1), (0.1, 0.1, 0.35))]))
+    mug = KinBody("mug", oc.Scene.build(
+        cylinders=[((0.0, 0.0, 0.76, 0, 0, 0, 1), 0.04, 0.06)]))
+    mod.add_kinbody(table)
+    mod.add_kinbody(mug)
+    robot = Robot("wam", oc.wam7(),
+                  pose=np.array([0.0, -1.0, 1.0, 0.0, 0.70711, 0.0, 0.70711]),
+                  q_active=np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]))
+    mod.add_robot(robot)
+    robot.enabled = False
+    mod.computedistancefield(kinbody="table", cube_extent=0.04,
+                             cache_filename="/tmp/bench_sdf_table.npy")
+    robot.enabled = True
+    goal = np.array([0.5, 1.5, 0.1, 0.3, 0.0, -0.3, 0.0])
+    h = mod.create(robot="wam", adofgoal=goal, lambda_=100.0,
+                   obs_factor=500.0, n_points=n_points)
+    return mod, mod.runs[h], goal
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from or_cdchomp_tpu.chomp import metric as mm
+    from or_cdchomp_tpu.parallel.batch import BatchSolver, problem_batch_from_grid
+
+    mod, run, goal = build(jnp.float32, N_POINTS)
+    engine = run.engine
+    spec = engine.spec
+    ops = mm.build_metric(spec.m, spec.dt, D=spec.D)
+
+    rng = np.random.default_rng(0)
+    starts = (np.tile(np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]),
+                      (BATCH, 1)) + 0.02 * rng.normal(size=(BATCH, 7)))
+    goals = np.tile(goal, (BATCH, 1)) + 0.02 * rng.normal(size=(BATCH, 7))
+    probs = problem_batch_from_grid(run.problem, starts, goals, engine, ops)
+
+    solver = BatchSolver(engine)
+    probs_dev = solver.shard(probs)
+
+    # warmup/compile
+    out, costs = solver.iterate(probs_dev, N_ITER)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, costs = solver.iterate(probs_dev, N_ITER)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    tpu_solves_per_s = BATCH / dt
+
+    # CPU single-thread baseline: same jitted step on one CPU device
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        single = jax.tree.map(lambda x: jax.device_put(x[0], cpu), probs)
+        it = jax.jit(lambda p: engine.iterate_nojit(p, 10), device=cpu)
+        r = it(single)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = it(single)
+        jax.block_until_ready(r)
+        cpu_dt = (time.perf_counter() - t0) * (N_ITER / 10)
+    cpu_solves_per_s = 1.0 / cpu_dt
+
+    print(json.dumps({
+        "metric": "wam7_chomp_solves_per_s_per_chip"
+                  f" (n_points={N_POINTS}, {N_ITER} iters, batch={BATCH})",
+        "value": round(tpu_solves_per_s, 3),
+        "unit": "solves/s",
+        "vs_baseline": round(tpu_solves_per_s / cpu_solves_per_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

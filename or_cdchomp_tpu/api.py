@@ -1,0 +1,762 @@
+"""User-facing module API mirroring the reference command surface.
+
+The reference exposes nine string commands on an OpenRAVE module
+(orcdchomp_mod.h:58-66) plus python kwarg wrappers
+(pythonsrc/orcdchomp/orcdchomp.py).  ``CHOMPModule`` provides the same
+operations with the same names, kwargs and defaults — against an
+analytic world model instead of an OpenRAVE environment:
+
+ - viewspheres            (orcdchomp_mod.cpp:175-289)   → sphere data
+ - computedistancefield   (orcdchomp_mod.cpp:297-589)
+ - addfield_fromobsarray  (orcdchomp_mod.cpp:592-722)
+ - viewfields             (orcdchomp_mod.cpp:724-797)   → cell data
+ - removefield            (orcdchomp_mod.cpp:799-847)
+ - create / iterate / gettraj / destroy
+                          (orcdchomp_mod.cpp:1800-3066)
+ - runchomp               (orcdchomp.py:204-219)
+
+Run handles are opaque strings into a registry (replacing the %p
+pointer round-trip, orcdchomp_mod.cpp:2669-2674); multiple concurrent
+runs are supported (README.md:86-88).  The massively-batched TPU path
+(thousands of problems at once) lives in parallel/batch.py and shares
+the same ChompEngine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from or_cdchomp_tpu.chomp import metric as metric_mod
+from or_cdchomp_tpu.chomp.constraints import TSRConstraintSet
+from or_cdchomp_tpu.chomp.cost import FieldStack
+from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec, HmcState
+from or_cdchomp_tpu.chomp.solver import ChompEngine
+from or_cdchomp_tpu.models.robot import CompiledFK, RobotModel
+from or_cdchomp_tpu.ops.edt import signed_edt
+from or_cdchomp_tpu.ops.flood import exterior_free_mask
+from or_cdchomp_tpu.ops.grid import Grid3D, pad_stack_grids
+from or_cdchomp_tpu.ops.voxelize import Scene, scene_distance, voxelize_scene
+from or_cdchomp_tpu.tsr import TSR
+from or_cdchomp_tpu.utils import np_pose
+
+
+@dataclasses.dataclass
+class KinBody:
+    """A rigid obstacle body: analytic primitive set + world pose."""
+
+    name: str
+    scene: Scene
+    pose: np.ndarray = dataclasses.field(
+        default_factory=lambda: np_pose.POSE_ID.copy())
+    enabled: bool = True
+
+    def aabb_at_origin(self, padding=0.0):
+        """Conservative AABB of the scene primitives with the body at
+        the origin (KinBodyComputeEnabledAABB parity,
+        orcdchomp_mod.cpp:376-393)."""
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        sc = self.scene
+        bp = np.asarray(sc.box_pose)
+        bh = np.asarray(sc.box_half)
+        for i in range(bp.shape[0]):
+            # rotated box AABB: |R|·half
+            from or_cdchomp_tpu.tsr import quat_to_R_np
+            R = quat_to_R_np(bp[i, 3:])
+            ext = np.abs(R) @ bh[i]
+            lo = np.minimum(lo, bp[i, :3] - ext)
+            hi = np.maximum(hi, bp[i, :3] + ext)
+        scenter = np.asarray(sc.sphere_center)
+        sradius = np.asarray(sc.sphere_radius)
+        for i in range(scenter.shape[0]):
+            lo = np.minimum(lo, scenter[i] - sradius[i])
+            hi = np.maximum(hi, scenter[i] + sradius[i])
+        cp = np.asarray(sc.cyl_pose)
+        cr = np.asarray(sc.cyl_radius)
+        ch = np.asarray(sc.cyl_half)
+        for i in range(cp.shape[0]):
+            ext = np.sqrt(cr[i] ** 2 + ch[i] ** 2)  # conservative
+            lo = np.minimum(lo, cp[i, :3] - ext)
+            hi = np.maximum(hi, cp[i, :3] + ext)
+        if not np.all(np.isfinite(lo)):
+            lo = np.zeros(3)
+            hi = np.zeros(3)
+        return lo - padding, hi + padding
+
+
+@dataclasses.dataclass
+class Robot:
+    """A robot body: kinematic model + current configuration."""
+
+    name: str
+    model: RobotModel                 # with active DOFs already selected
+    pose: np.ndarray = dataclasses.field(
+        default_factory=lambda: np_pose.POSE_ID.copy())
+    q_active: np.ndarray = None
+    enabled: bool = True
+
+    def __post_init__(self):
+        if self.q_active is None:
+            self.q_active = np.zeros(self.model.n_dof)
+        self.q_active = np.asarray(self.q_active, dtype=np.float64)
+
+    def GetName(self):  # OpenRAVE-style accessor used by callers
+        return self.name
+
+    def _fk(self) -> CompiledFK:
+        if not hasattr(self, "_fk_cache"):
+            self._fk_cache = CompiledFK(self.model)
+        return self._fk_cache
+
+    def sphere_world(self, fk: Optional[CompiledFK] = None):
+        """World (pos, radius) of all spheres at the current config."""
+        fk = fk or self._fk()
+        x = np.asarray(fk.sphere_positions_jit(
+            jnp.asarray(self.q_active, dtype=fk.dtype),
+            jnp.asarray(self.pose, dtype=fk.dtype)))
+        return x, np.asarray(self.model.sphere_radius[fk.sphere_subset])
+
+    def aabb_at_origin(self, padding=0.0):
+        """AABB of the sphere model with the base at the origin."""
+        fk = self._fk()
+        x = np.asarray(fk.sphere_positions_jit(
+            jnp.asarray(self.q_active, dtype=fk.dtype),
+            jnp.asarray(np_pose.POSE_ID, dtype=fk.dtype)))
+        r = np.asarray(self.model.sphere_radius)[:, None]
+        return (x - r).min(axis=0) - padding, (x + r).max(axis=0) + padding
+
+
+@dataclasses.dataclass
+class SdfEntry:
+    """Registry entry (struct sdf, orcdchomp_mod.h:36-40)."""
+
+    kinbody_name: str
+    grid: Grid3D
+    pose: np.ndarray   # (7,) grid frame in kinbody frame
+
+
+@dataclasses.dataclass
+class Trajectory:
+    """Retimed output trajectory (gettraj result)."""
+
+    times: np.ndarray          # (n_points,)
+    positions: np.ndarray      # (n_points, n_adof)
+    base_poses: Optional[np.ndarray] = None  # (n_points, 7) if floating
+    in_collision: bool = False
+
+    @property
+    def duration(self):
+        return float(self.times[-1])
+
+    def sample(self, t):
+        """Linear interpolation at time t (retimer is linear)."""
+        t = np.clip(t, 0.0, self.duration)
+        i = int(np.searchsorted(self.times, t, side="right") - 1)
+        i = min(max(i, 0), len(self.times) - 2)
+        dt = self.times[i + 1] - self.times[i]
+        a = 0.0 if dt <= 0 else (t - self.times[i]) / dt
+        q = (1 - a) * self.positions[i] + a * self.positions[i + 1]
+        if self.base_poses is None:
+            return q, None
+        bp = (1 - a) * self.base_poses[i] + a * self.base_poses[i + 1]
+        bp = np_pose.normalize(bp)
+        return q, bp
+
+
+@dataclasses.dataclass
+class Run:
+    """One CHOMP run (struct run, orcdchomp_mod.cpp:886-966)."""
+
+    engine: ChompEngine
+    problem: ChompProblem
+    spec: ChompSpec
+    robot: Robot
+    fk: CompiledFK
+    n_points: int
+    iteration: int = 0
+    dat_filename: Optional[str] = None
+    dat_rows: list = dataclasses.field(default_factory=list)
+    start_time: float = dataclasses.field(default_factory=time.time)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "cube_extent"))
+def _sdf_build_jit(scenes, inv_poses, pose_world_gsdf, lengths, *,
+                   sizes, cube_extent):
+    """Whole SDF pipeline — voxelize → flood-fill → signed EDT — as one
+    compiled graph (one compilation per grid/scene shape instead of
+    thousands of eager op dispatches)."""
+    from or_cdchomp_tpu.ops.quat import pose_apply
+
+    grid = Grid3D.create(sizes, lengths)
+    centers_w = pose_apply(pose_world_gsdf, grid.all_centers())
+    occ = jnp.zeros(sizes, dtype=bool)
+    for sc, inv in zip(scenes, inv_poses):
+        centers_local = pose_apply(inv, centers_w)
+        occ = occ | voxelize_scene(sc, centers_local, cube_extent)
+    occ = exterior_free_mask(occ)   # enclosed pockets → obstacle
+    return signed_edt(occ, lengths)
+
+
+@jax.jit
+def _traj_collision_jit(scenes, inv_poses, x, rad, same_link):
+    """Sampled collision test: per-body any-hit flags + self-collision.
+    x: (T, S, 3) sphere centers; rad: (S,)."""
+    from or_cdchomp_tpu.ops.quat import pose_apply
+
+    hits = []
+    for sc, inv in zip(scenes, inv_poses):
+        d = scene_distance(sc, pose_apply(inv, x))
+        hits.append(jnp.any(d < rad))
+    env_hits = jnp.stack(hits) if hits else jnp.zeros((0,), bool)
+    dist = jnp.linalg.norm(x[:, :, None, :] - x[:, None, :, :], axis=-1)
+    rsum = rad[:, None] + rad[None, :]
+    self_hit = jnp.any((dist < rsum) & ~same_link)
+    return env_hits, self_hit
+
+
+_DEFAULTS = dict(  # orcdchomp_mod.cpp:1840-1875
+    n_points=101, lambda_=10.0, epsilon=0.1, epsilon_self=0.04,
+    obs_factor=200.0, obs_factor_self=10.0, hmc_resample_lambda=0.02,
+    derivative=1,
+)
+
+
+class CHOMPModule:
+    """The module: world registry + SDF registry + run registry."""
+
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+        self.bodies: Dict[str, KinBody] = {}
+        self.robots: Dict[str, Robot] = {}
+        self.sdfs: List[SdfEntry] = []
+        self.runs: Dict[str, Run] = {}
+        self._next_run = 0
+        self._engine_cache = {}
+        self._fields_version = 0
+
+    # ----- world management ----------------------------------------------
+
+    def add_kinbody(self, body: KinBody):
+        self.bodies[body.name] = body
+        return body
+
+    def add_robot(self, robot: Robot):
+        self.robots[robot.name] = robot
+        return robot
+
+    def _get_body(self, name):
+        if name in self.bodies:
+            return self.bodies[name]
+        if name in self.robots:
+            return self.robots[name]
+        raise KeyError(f"no kinbody named {name!r}")
+
+    def _resolve_robot(self, robot) -> Robot:
+        if isinstance(robot, Robot):
+            return robot
+        return self.robots[robot]
+
+    # ----- viewspheres ----------------------------------------------------
+
+    def viewspheres(self, robot=None, **_):
+        """Return the robot's sphere model in world coordinates as a
+        list of (name, center, radius) — the data the reference renders
+        as orcdchomp_sphere_%d kinbodies (orcdchomp_mod.cpp:175-289)."""
+        r = self._resolve_robot(robot)
+        x, rad = r.sphere_world()
+        return [(f"orcdchomp_sphere_{i}", x[i], float(rad[i]))
+                for i in range(len(rad))]
+
+    # ----- distance fields ------------------------------------------------
+
+    def _world_occupancy_scene(self, exclude_name):
+        """(scenes, poses) of every *enabled* body except the named one
+        (the reference's env CheckCollision sees everything enabled;
+        the probe cube is the moving body)."""
+        scenes, poses = [], []
+        for b in self.bodies.values():
+            if b.name == exclude_name or not b.enabled:
+                continue
+            scenes.append(b.scene)
+            poses.append(b.pose)
+        for r in self.robots.values():
+            if r.name == exclude_name or not r.enabled:
+                continue
+            x, rad = r.sphere_world()
+            scenes.append(Scene.build(
+                spheres=[(x[i], float(rad[i])) for i in range(len(rad))]))
+            poses.append(np_pose.POSE_ID)  # sphere centers already world
+        return scenes, poses
+
+    def computedistancefield(self, kinbody=None, cube_extent=0.02,
+                             aabb_padding=0.2, cache_filename=None,
+                             require_cache=False, **_):
+        """Build + register an SDF around ``kinbody``.
+
+        (orcdchomp_mod.cpp:297-589: AABB at origin + padding, voxelize,
+        flood-fill exterior, signed EDT, binary cache, registry keyed
+        by kinbody name.)
+        """
+        name = kinbody if isinstance(kinbody, str) else kinbody.name
+        body = self._get_body(name)
+        if any(s.kinbody_name == name for s in self.sdfs):
+            raise RuntimeError("We already have an sdf for this kinbody!")
+
+        lo, hi = body.aabb_at_origin()
+        center = 0.5 * (lo + hi)
+        extents = 0.5 * (hi - lo)
+        sizes = np.ceil((extents + aabb_padding) / cube_extent).astype(int)
+        lengths = sizes * 2.0 * cube_extent
+        grid_pose = np_pose.POSE_ID.copy()
+        grid_pose[:3] = center - 0.5 * lengths
+
+        grid = None
+        if cache_filename:
+            try:
+                data = np.load(cache_filename)
+                if tuple(data.shape) == tuple(sizes):
+                    grid = Grid3D(data=jnp.asarray(data, dtype=jnp.float32),
+                                  lengths=jnp.asarray(lengths, jnp.float32))
+            except (FileNotFoundError, ValueError):
+                pass
+        if grid is None:
+            if require_cache:
+                raise RuntimeError(
+                    "Field not found from cache, but require_cache flag set!")
+            grid = self._build_sdf_grid(name, body, grid_pose, sizes, lengths,
+                                        cube_extent)
+            if cache_filename:
+                np.save(cache_filename, np.asarray(grid.data))
+
+        self.sdfs.append(SdfEntry(kinbody_name=name, grid=grid,
+                                  pose=grid_pose))
+        self._fields_version += 1
+        return ""
+
+    def _build_sdf_grid(self, name, body, grid_pose, sizes, lengths,
+                        cube_extent):
+        pose_world_gsdf = np_pose.compose(body.pose, grid_pose)
+        scenes, poses = self._world_occupancy_scene(name)
+        inv_poses = tuple(jnp.asarray(np_pose.invert(p), jnp.float32)
+                          for p in poses)
+        data = _sdf_build_jit(
+            tuple(scenes), inv_poses,
+            jnp.asarray(pose_world_gsdf, jnp.float32),
+            jnp.asarray(lengths, jnp.float32),
+            sizes=tuple(int(s) for s in sizes),
+            cube_extent=float(cube_extent))
+        return Grid3D(data=data, lengths=jnp.asarray(lengths, jnp.float32))
+
+    def addfield_fromobsarray(self, kinbody=None, obsarray=None, sizes=None,
+                              lengths=None, pose=None, **_):
+        """Register an SDF computed from a raw occupancy array.
+
+        (orcdchomp_mod.cpp:592-722; obsarray nonzero = obstacle.)
+        """
+        name = kinbody if isinstance(kinbody, str) else kinbody.name
+        self._get_body(name)
+        if any(s.kinbody_name == name for s in self.sdfs):
+            raise RuntimeError("We already have an sdf for this kinbody!")
+        obsarray = np.asarray(obsarray)
+        if sizes is not None:
+            obsarray = obsarray.reshape(tuple(sizes))
+        occupied = obsarray != 0
+        lengths = np.asarray(lengths, dtype=np.float64)
+        pose = (np_pose.normalize(pose) if pose is not None
+                else np_pose.POSE_ID.copy())
+        data = signed_edt(jnp.asarray(occupied), lengths)
+        grid = Grid3D(data=data, lengths=jnp.asarray(lengths, jnp.float32))
+        self.sdfs.append(SdfEntry(kinbody_name=name, grid=grid, pose=pose))
+        self._fields_version += 1
+        return ""
+
+    def viewfields(self, **_):
+        """Per-field occupied (sd ≤ 0) cell centers in world coords —
+        the data viewfields renders (orcdchomp_mod.cpp:724-797)."""
+        out = {}
+        for s in self.sdfs:
+            body = self._get_body(s.kinbody_name)
+            pw = np_pose.compose(body.pose, s.pose)
+            centers = np.asarray(s.grid.all_centers())
+            mask = np.asarray(s.grid.data) <= 0.0
+            pts = centers[mask]
+            from or_cdchomp_tpu.ops.quat import pose_apply
+            out[s.kinbody_name] = np.asarray(pose_apply(
+                jnp.asarray(pw, jnp.float32), jnp.asarray(pts, jnp.float32)))
+        return out
+
+    def removefield(self, kinbody=None, **_):
+        name = kinbody if isinstance(kinbody, str) else kinbody.name
+        for i, s in enumerate(self.sdfs):
+            if s.kinbody_name == name:
+                del self.sdfs[i]
+                self._fields_version += 1
+                return ""
+        raise RuntimeError("kinbody not found, or has no sdf attached!")
+
+    # ----- create ---------------------------------------------------------
+
+    def _field_stack(self):
+        grids = [s.grid for s in self.sdfs]
+        data, sizes, lengths = pad_stack_grids(grids)
+        return FieldStack(data=data, sizes=sizes, lengths=lengths)
+
+    def create(self, robot=None, adofgoal=None, basegoal=None,
+               floating_base=False, lambda_=None, starttraj=None,
+               n_points=None, con_tsr=None, con_tsrs=None, start_tsr=None,
+               start_cost=None, everyn_tsr=None, use_momentum=False,
+               use_hmc=False, hmc_resample_lambda=None, seed=0,
+               epsilon=None, epsilon_self=None, obs_factor=None,
+               obs_factor_self=None, no_report_cost=False,
+               dat_filename=None, derivative=None, **_):
+        """Set up a run; returns an opaque run handle string.
+
+        Same validation rules as mod::create
+        (orcdchomp_mod.cpp:2090-2101).
+        """
+        r = self._resolve_robot(robot)
+        n_points = n_points or _DEFAULTS["n_points"]
+        lambda_ = _DEFAULTS["lambda_"] if lambda_ is None else lambda_
+        epsilon = _DEFAULTS["epsilon"] if epsilon is None else epsilon
+        epsilon_self = (_DEFAULTS["epsilon_self"] if epsilon_self is None
+                        else epsilon_self)
+        obs_factor = _DEFAULTS["obs_factor"] if obs_factor is None else obs_factor
+        obs_factor_self = (_DEFAULTS["obs_factor_self"]
+                           if obs_factor_self is None else obs_factor_self)
+        hmc_resample_lambda = (_DEFAULTS["hmc_resample_lambda"]
+                               if hmc_resample_lambda is None
+                               else hmc_resample_lambda)
+        D = _DEFAULTS["derivative"] if derivative is None else derivative
+
+        if adofgoal is None and starttraj is None:
+            raise ValueError("Did not pass either adofgoal or starttraj!")
+        if adofgoal is not None and starttraj is not None:
+            raise ValueError("Cannot pass both adofgoal and starttraj!")
+        if floating_base and basegoal is None and starttraj is None:
+            raise ValueError("Passed floating_base with no basegoal!")
+        if not floating_base and basegoal is not None:
+            raise ValueError("Passed basegoal with no floating_base!")
+        if not self.sdfs:
+            raise ValueError(
+                "No signed distance fields have yet been computed!")
+        if lambda_ < 0.01:
+            raise ValueError("lambda must be >=0.01!")
+        if n_points < 3:
+            raise ValueError("n_points must be >=3!")
+        if floating_base and start_tsr is not None:
+            raise ValueError(
+                "floating_base and start_tsr together is not yet implemented!")
+
+        n_adof = r.model.n_dof
+        n = (7 if floating_base else 0) + n_adof
+        if adofgoal is not None and len(adofgoal) != n_adof:
+            raise ValueError("size of adofgoal does not match active dofs!")
+
+        m = n_points - 2 + (1 if start_tsr is not None else 0)
+        spec = ChompSpec(
+            n_points=n_points, n=n, m=m, D=D, floating_base=floating_base,
+            use_momentum=bool(use_momentum or use_hmc), use_hmc=bool(use_hmc),
+            start_tsr=start_tsr is not None, n_fields=len(self.sdfs),
+        )
+
+        # --- trajectory init (orcdchomp_mod.cpp:2371-2464) ---
+        if starttraj is not None:
+            st = np.asarray(starttraj, dtype=np.float64)
+            if st.shape[1] != n:
+                raise ValueError(f"starttraj must have width n={n}")
+            src_t = np.linspace(0.0, 1.0, st.shape[0])
+            dst_t = np.linspace(0.0, 1.0, n_points)
+            traj = np.stack(
+                [np.interp(dst_t, src_t, st[:, j]) for j in range(n)], axis=1)
+            if floating_base:
+                for i in range(n_points):
+                    traj[i, :7] = np_pose.normalize(traj[i, :7])
+        else:
+            start = np.concatenate([r.pose, r.q_active]) if floating_base \
+                else r.q_active.copy()
+            goal = (np.concatenate([np.asarray(basegoal, dtype=np.float64),
+                                    np.asarray(adofgoal, dtype=np.float64)])
+                    if floating_base else np.asarray(adofgoal, np.float64))
+            a = np.linspace(0.0, 1.0, n_points)[:, None]
+            traj = (1 - a) * start[None, :] + a * goal[None, :]
+            if floating_base:
+                for i in range(n_points):
+                    traj[i, :7] = np_pose.normalize(traj[i, :7])
+
+        # --- metric (chomp.c:239-428) ---
+        ops = metric_mod.build_metric(
+            m, spec.dt, D=D, has_init0=start_tsr is None, has_final0=True)
+        init0 = None if start_tsr is not None else traj[0]
+        final0 = traj[-1]
+        B, trC = metric_mod.build_B_trC(ops, init0, final0, n)
+        Evels = metric_mod.build_Evels(ops, init0, final0, n)
+
+        # --- joint limits (orcdchomp_mod.cpp:2638-2660) ---
+        lo = np.asarray(r.model.dof_limits_lower, dtype=np.float64)
+        hi = np.asarray(r.model.dof_limits_upper, dtype=np.float64)
+        if floating_base:
+            lo = np.concatenate([np.full(7, -np.inf), lo])
+            hi = np.concatenate([np.full(7, np.inf), hi])
+
+        # --- rooted SDFs (orcdchomp_mod.cpp:2347-2369) ---
+        pw, pg = [], []
+        for s in self.sdfs:
+            body = self._get_body(s.kinbody_name)
+            p = np_pose.compose(body.pose, s.pose)
+            pw.append(p)
+            pg.append(np_pose.invert(p))
+        pw = np.asarray(pw).reshape(-1, 7)
+        pg = np.asarray(pg).reshape(-1, 7)
+
+        # --- TSR constraints (orcdchomp_mod.cpp:2569-2614) ---
+        entries = []
+        tsr_T0w_inv, tsr_Twe_inv = [], []
+
+        def add_con(tsr: TSR, point_idx):
+            entries.append((point_idx, tsr.enabled_mask()))
+            tsr_T0w_inv.append(np_pose.invert(tsr.T0w))
+            tsr_Twe_inv.append(np_pose.invert(tsr.Twe))
+
+        if start_tsr is not None:
+            add_con(start_tsr, 0)
+        if everyn_tsr is not None:
+            for i in range(m):
+                add_con(everyn_tsr, i)
+        all_con_tsrs = list(con_tsrs or [])
+        if con_tsr is not None:
+            all_con_tsrs.append(con_tsr)
+        for ct in all_con_tsrs:
+            # ct: (type, TSR) with type 'all'|'start'|'end'
+            ctype, tsr = ct
+            if ctype == "start":
+                add_con(tsr, 0)
+            elif ctype == "end":
+                add_con(tsr, m - 1)
+            elif ctype == "all":
+                for i in range(m):
+                    add_con(tsr, i)
+            else:
+                raise ValueError("con_tsr type must be start, end, or all")
+        cons = TSRConstraintSet.build(entries)
+
+        # --- engine (cached by static structure) ---
+        fk = CompiledFK(r.model, dtype=self.dtype)
+        key = (spec, id(r.model), self._fields_version, cons,
+               start_cost is not None)
+        engine = self._engine_cache.get(key)
+        if engine is None:
+            fields = self._field_stack()
+            engine = ChompEngine(
+                spec, r.model, fields, ops.A, ops.Ainv, cons=cons,
+                extra_cost=start_cost, dtype=self.dtype)
+            self._engine_cache[key] = engine
+
+        # inactive sphere world positions (orcdchomp_mod.cpp:2334-2345)
+        order = engine._sphere_order
+        n_act = engine.n_spheres_active
+        if len(order) > n_act:
+            x_all, _ = r.sphere_world(fk)
+            inactive_pos = np.asarray(x_all)[order[n_act:]]
+        else:
+            inactive_pos = np.zeros((0, 3))
+
+        dtype = self.dtype
+        C = max(cons.n_constraints, 1)
+        problem = ChompProblem(
+            traj=jnp.asarray(traj, dtype=dtype),
+            robot_pose=jnp.asarray(r.pose, dtype=dtype),
+            AG=jnp.zeros((m, n), dtype=dtype),
+            B=jnp.asarray(B, dtype=dtype),
+            Evels=jnp.asarray(Evels, dtype=dtype),
+            trC=jnp.asarray(trC, dtype=dtype),
+            jlimit_lower=jnp.asarray(lo, dtype=dtype),
+            jlimit_upper=jnp.asarray(hi, dtype=dtype),
+            epsilon=jnp.asarray(epsilon, dtype=dtype),
+            epsilon_self=jnp.asarray(epsilon_self, dtype=dtype),
+            obs_factor=jnp.asarray(obs_factor, dtype=dtype),
+            obs_factor_self=jnp.asarray(obs_factor_self, dtype=dtype),
+            lambda_=jnp.asarray(lambda_, dtype=dtype),
+            hmc_resample_lambda=jnp.asarray(hmc_resample_lambda, dtype=dtype),
+            pose_world_gsdf=jnp.asarray(pw, dtype=dtype),
+            pose_gsdf_world=jnp.asarray(pg, dtype=dtype),
+            field_enabled=jnp.ones(len(self.sdfs), dtype=bool),
+            inactive_pos=jnp.asarray(inactive_pos, dtype=dtype),
+            tsr_T0w_inv=jnp.asarray(
+                np.asarray(tsr_T0w_inv).reshape(-1, 7) if tsr_T0w_inv
+                else np.zeros((0, 7)), dtype=dtype),
+            tsr_Twe_inv=jnp.asarray(
+                np.asarray(tsr_Twe_inv).reshape(-1, 7) if tsr_Twe_inv
+                else np.zeros((0, 7)), dtype=dtype),
+            hmc=HmcState(
+                key=jax.random.PRNGKey(seed),
+                resample_iter=jnp.int32(0),
+                leapfrog_first=jnp.array(True)),
+            iteration=jnp.int32(0),
+        )
+
+        handle = f"run{self._next_run}"
+        self._next_run += 1
+        self.runs[handle] = Run(
+            engine=engine, problem=problem, spec=spec, robot=r, fk=fk,
+            n_points=n_points, dat_filename=dat_filename)
+        return handle
+
+    # ----- iterate --------------------------------------------------------
+
+    def iterate(self, run=None, n_iter=1, max_time=None,
+                trajs_fileformstr=None, cost=None, verbose=False, **_):
+        """Run n_iter CHOMP iterations (orcdchomp_mod.cpp:2690-2852).
+
+        Returns the final total cost (which the reference writes to the
+        output stream).  ``max_time`` is a wall-clock budget checked
+        between chunks; ``trajs_fileformstr`` dumps the trajectory
+        before each iteration (slow path).
+        """
+        rn = self.runs[run]
+        if n_iter < 0:
+            raise ValueError("n_iter must be >=0!")
+        t0 = time.time()
+        done = 0
+        chunk = 1 if (max_time is not None or trajs_fileformstr) else n_iter
+        while done < n_iter:
+            todo = min(chunk, n_iter - done)
+            if trajs_fileformstr:
+                np.savetxt(trajs_fileformstr % rn.iteration,
+                           np.asarray(rn.problem.traj))
+            rn.problem, costs = rn.engine.iterate(rn.problem, todo)
+            costs = np.asarray(costs)
+            for k in range(todo):
+                it = rn.iteration + k
+                if verbose:
+                    print(f"iter:{it:2d} cost_total:{costs[k,0]:f} "
+                          f"cost_obs:{costs[k,1]:f} cost_smooth:{costs[k,2]:f}")
+                rn.dat_rows.append(
+                    [it, time.time() - t0, costs[k, 0], costs[k, 1],
+                     costs[k, 2]])
+            done += todo
+            rn.iteration += todo
+            if max_time is not None and time.time() - t0 > max_time:
+                break
+        total, c_obs, c_smooth = (float(x) for x in jax.device_get(
+            jax.jit(rn.engine.costs_only)(rn.problem)))
+        if verbose:
+            print(f"iter:{rn.iteration:2d} cost_total:{total:f} "
+                  f"cost_obs:{c_obs:f} cost_smooth:{c_smooth:f} [FINAL]")
+        if rn.dat_filename:
+            with open(rn.dat_filename, "w") as f:
+                for row in rn.dat_rows:
+                    f.write(" ".join(str(v) for v in row) + "\n")
+        if cost is not None:
+            cost[0] = total
+        return total
+
+    # ----- gettraj --------------------------------------------------------
+
+    def gettraj(self, run=None, no_collision_check=False,
+                no_collision_exception=False, no_collision_details=False,
+                **_):
+        """Extract, retime, and validity-check the trajectory
+        (orcdchomp_mod.cpp:2854-3011)."""
+        rn = self.runs[run]
+        spec = rn.spec
+        traj = np.asarray(jax.device_get(rn.problem.traj), dtype=np.float64)
+        if spec.floating_base:
+            base = traj[:, :7]
+            q = traj[:, 7:]
+        else:
+            base, q = None, traj
+
+        # linear retiming at joint velocity limits
+        # (RetimeActiveDOFTrajectory with LinearTrajectoryRetimer,
+        #  orcdchomp_mod.cpp:2905-2911)
+        vmax = np.asarray(rn.robot.model.dof_max_vel, dtype=np.float64)
+        dq = np.abs(np.diff(q, axis=0))
+        seg = (dq / vmax[None, :]).max(axis=1)
+        seg = np.maximum(seg, 1e-6)
+        times = np.concatenate([[0.0], np.cumsum(seg)])
+        out = Trajectory(times=times, positions=q, base_poses=base)
+
+        if not no_collision_check:
+            collides = self._check_traj_collision(
+                rn, out, report=not no_collision_details)
+            out.in_collision = collides
+            if collides and not no_collision_exception:
+                raise RuntimeError("Resulting trajectory is in collision!")
+        return out
+
+    def _check_traj_collision(self, rn: Run, traj: Trajectory, report=True):
+        """Sampled validity check every ~0.04 rad of config arc length
+        (orcdchomp_mod.cpp:2958-3006), using the sphere model against
+        analytic scene geometry + sphere-pair self collision."""
+        q = traj.positions
+        total_dist = float(np.sum(np.linalg.norm(np.diff(q, axis=0), axis=1)))
+        if total_dist <= 0:
+            return False
+        step_time = traj.duration * 0.04 / total_dist
+        ts = np.arange(0.0, traj.duration, max(step_time, 1e-9))
+
+        fk = rn.fk
+        model = rn.robot.model
+        qs, bases = [], []
+        for t in ts:
+            qi, bi = traj.sample(t)
+            qs.append(qi)
+            bases.append(bi if bi is not None else rn.robot.pose)
+        qs = jnp.asarray(np.asarray(qs), dtype=fk.dtype)
+        bp = jnp.asarray(np.asarray(bases), dtype=fk.dtype)
+        x = fk.sphere_positions_jit(qs, bp)             # (T, S, 3)
+        rad = jnp.asarray(model.sphere_radius, dtype=fk.dtype)
+
+        scenes, invs, names = [], [], []
+        for b in self.bodies.values():
+            if not b.enabled:
+                continue
+            scenes.append(b.scene)
+            invs.append(jnp.asarray(np_pose.invert(b.pose), dtype=fk.dtype))
+            names.append(b.name)
+        same = jnp.asarray(model.sphere_adjacent_link())
+        env_hits, self_hit = _traj_collision_jit(
+            tuple(scenes), tuple(invs), x, rad, same)
+        collides = False
+        for name, hit in zip(names, np.asarray(env_hits)):
+            if hit and report:
+                print(f"Collision with {name}")
+            collides = collides or bool(hit)
+        if bool(self_hit):
+            if report:
+                print("Self collision")
+            collides = True
+        return collides
+
+    # ----- destroy / runchomp --------------------------------------------
+
+    def destroy(self, run=None, **_):
+        del self.runs[run]
+        return ""
+
+    def runchomp(self, n_iter=None, max_time=None, trajs_fileformstr=None,
+                 cost=None, no_collision_check=False,
+                 no_collision_exception=False, no_collision_details=False,
+                 **kwargs):
+        """create + iterate + gettraj + destroy (orcdchomp.py:204-219)."""
+        run = self.create(**kwargs)
+        try:
+            self.iterate(run=run, n_iter=1 if n_iter is None else n_iter,
+                         max_time=max_time,
+                         trajs_fileformstr=trajs_fileformstr, cost=cost)
+            traj = self.gettraj(
+                run=run, no_collision_check=no_collision_check,
+                no_collision_exception=no_collision_exception,
+                no_collision_details=no_collision_details)
+        finally:
+            self.destroy(run=run)
+        return traj

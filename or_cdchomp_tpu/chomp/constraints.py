@@ -1,0 +1,165 @@
+"""TSR (Task Space Region) trajectory constraints + projection math.
+
+The reference supports three kinds of hard constraints, all evaluated
+as "selected xyz-ypr components of the pose of a virtual object in a
+TSR frame" with an analytic Jacobian chain
+(con_tsr orcdchomp_mod.cpp:1330-1497, con_everyn_tsr 1500-1657,
+con_start_tsr 1659-1784):
+
+    value = select(xyzypr( T0w⁻¹ ∘ pose_ee ∘ Twe⁻¹ ))
+    J     = select( xyzypr_J · pose_jac⁻¹ · Xm(T0w⁻¹) · J_spatial )
+
+A constrained dimension is one whose Bw bounds are both exactly zero
+(orcdchomp_mod.cpp:2466-2518).  The per-iteration projection is the
+goal-set CHOMP update (chomp.c:553-600): solve the dense
+(J A⁻¹ Jᵀ)-weighted system over all constraint rows and push the
+correction back through A⁻¹ columns.
+
+TPU design: every constraint evaluates its full 6-dim value/Jacobian
+(uniform shapes, vmappable); the *static* enabled-dimension masks then
+gather the exact active rows into one concatenated system, so the
+linear solve has a fixed size known at trace time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec
+from or_cdchomp_tpu.ops import quat as qt
+from or_cdchomp_tpu.ops import spatial as sp
+
+# Bw-row order is (x y z roll pitch yaw); xyzypr order is
+# (x y z yaw pitch roll): dims 3..5 flip via 8-i (orcdchomp_mod.cpp:1413)
+_DIM_MAP = np.array([0, 1, 2, 5, 4, 3])
+
+
+class TSRConstraintSet(NamedTuple):
+    """Static layout of all active TSR constraints.
+
+    A problem's dynamic TSR frames live in ChompProblem
+    (tsr_T0w_inv / tsr_Twe_inv, shape (C, 7)); this object carries the
+    static structure: which moving point each constraint pins, and
+    which of its 6 rows are enabled.
+    """
+
+    point_idx: tuple          # (C,) moving-point index per constraint
+    enabled: tuple            # (C,) tuple of 6 bools each
+    rows: tuple               # K static (constraint, dim) pairs
+
+    @property
+    def n_constraints(self):
+        return len(self.point_idx)
+
+    @property
+    def k_total(self):
+        return len(self.rows)
+
+    @classmethod
+    def build(cls, entries: Sequence):
+        """entries: sequence of (point_idx, enabled6)."""
+        point_idx = tuple(int(e[0]) for e in entries)
+        enabled = tuple(tuple(bool(b) for b in e[1]) for e in entries)
+        rows = tuple(
+            (c, d) for c in range(len(entries)) for d in range(6)
+            if enabled[c][d])
+        return cls(point_idx=point_idx, enabled=enabled, rows=rows)
+
+
+def tsr_enabled_from_bw(bw) -> tuple:
+    """Enabled mask from a 6×2 Bw bound array: dim constrained iff both
+    bounds are 0.0 (orcdchomp_mod.cpp:2466-2518)."""
+    bw = np.asarray(bw, dtype=float).reshape(6, 2)
+    return tuple(bool(bw[i, 0] == 0.0 and bw[i, 1] == 0.0) for i in range(6))
+
+
+def eval_tsr_all(spec: ChompSpec, fk, prob: ChompProblem, T_full,
+                 cons: TSRConstraintSet, kin):
+    """Evaluate value + Jacobian of every constraint.
+
+    kin: TrajKinematics (link poses/anchors already computed for all
+    trajectory points by the cost pass).
+
+    Returns (val (C, 6), jac (C, 6, n)).
+    """
+    idx = jnp.asarray(cons.point_idx)
+    # constraint points index *moving* points; map to full-trajectory rows
+    full_idx = idx if spec.start_tsr else idx + 1
+
+    ee_link_pose = kin.link_poses[full_idx, fk.model.ee_link]   # (C, 7)
+    ee_origin = jnp.asarray(fk.model.ee_origin if fk.model.ee_origin
+                            is not None else np.array([0, 0, 0, 0, 0, 0, 1.0]),
+                            dtype=ee_link_pose.dtype)
+    pose_ee = qt.pose_compose(ee_link_pose, ee_origin)
+
+    pose_obj = qt.pose_compose(pose_ee, prob.tsr_Twe_inv)
+    pose_table_obj = qt.pose_compose(prob.tsr_T0w_inv, pose_obj)
+    xyzypr = qt.pose_to_xyzypr(pose_table_obj)                  # (C, 6)
+    val = xyzypr[:, _DIM_MAP]                                   # Bw row order
+
+    # --- spatial Jacobian of the ee *link* about the world origin ---
+    anchors = kin.anchors[full_idx]                             # (C, n_dof, 7)
+    axis_local = jnp.stack(
+        [fk._axis[fk._dof_link[d]] for d in range(fk.n_dof)]) \
+        if fk.n_dof else jnp.zeros((0, 3), ee_link_pose.dtype)
+    axis_w = qt.quat_rotate(anchors[..., 3:], axis_local)       # (C, D, 3)
+    origin_w = anchors[..., :3]
+    ee_mask = jnp.asarray(
+        fk.model.ancestor_dof_mask()[fk.model.ee_link])         # (D,)
+    rev = jnp.asarray(fk._jtype_per_dof == 1)
+    ang_cols = jnp.where((ee_mask & rev)[None, :, None], axis_w, 0.0)
+    # linear part of a point at the world origin: axis × (0 − o)
+    lin_rev = jnp.cross(axis_w, -origin_w)
+    lin_cols = jnp.where(ee_mask[None, :, None],
+                         jnp.where(rev[None, :, None], lin_rev, axis_w), 0.0)
+    arm_spajac = jnp.concatenate(
+        [jnp.swapaxes(ang_cols, -1, -2), jnp.swapaxes(lin_cols, -1, -2)],
+        axis=-2)                                                # (C, 6, n_dof)
+
+    if spec.floating_base:
+        base_cols = sp.pose_jac(T_full[full_idx, :7])           # (C, 6, 7)
+        spajac = jnp.concatenate([base_cols, arm_spajac], axis=-1)
+    else:
+        spajac = arm_spajac                                     # (C, 6, n)
+
+    # chain: xyzypr_J · pose_jac_inverse · Xm(table←world) · spajac
+    # (orcdchomp_mod.cpp:1466-1481)
+    xm_tw = sp.xm_from_pose(prob.tsr_T0w_inv)                   # (C, 6, 6)
+    jac_inv = sp.pose_jac_inverse(pose_table_obj)               # (C, 7, 6)
+    to_ypr = qt.pose_to_xyzypr_J(pose_table_obj)                # (C, 6, 7)
+    full = to_ypr @ jac_inv @ xm_tw @ spajac                    # (C, 6, n)
+    jac = full[:, _DIM_MAP, :]
+    return val, jac
+
+
+def project_constraints(spec: ChompSpec, cons: TSRConstraintSet, Ainv,
+                        lambda_, AG, T_mov, val, jac):
+    """Goal-set CHOMP constraint projection (chomp.c:553-600).
+
+    Returns the T correction (m, n) to *add* to the trajectory.
+    """
+    if cons.k_total == 0:
+        return jnp.zeros_like(T_mov)
+    rows_c = jnp.asarray([r[0] for r in cons.rows])
+    rows_d = jnp.asarray([r[1] for r in cons.rows])
+    idx = jnp.asarray(cons.point_idx)
+
+    h = val[rows_c, rows_d]                       # (K,)
+    J = jac[rows_c, rows_d, :]                    # (K, n)
+    row_pt = idx[rows_c]                          # (K,) moving-point index
+
+    # h += −(1/λ) J · AG[pt]  (chomp.c:563-565)
+    h = h - (1.0 / lambda_) * jnp.sum(J * AG[row_pt], axis=-1)
+
+    # JAJT[a,b] = Ainv[pt_a, pt_b] · (J_a · J_b)  (chomp.c:568-575)
+    JJt = J @ J.T
+    JAJT = JJt * Ainv[row_pt[:, None], row_pt[None, :]]
+
+    x = jnp.linalg.solve(JAJT, h)                 # (chomp.c:579-581 dgesv)
+
+    # T −= Σ_k Ainv[:, pt_k] ⊗ (J_k x_k)  (chomp.c:593-599)
+    correction = -jnp.einsum("mk,k,kn->mn", Ainv[:, row_pt], x, J)
+    return correction

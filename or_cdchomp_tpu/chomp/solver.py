@@ -1,0 +1,259 @@
+"""The CHOMP covariant-update solver: one pure step, scanned and batched.
+
+Reimplements cd_chomp_iterate (chomp.c:430-683) plus the HMC momentum
+resampling that the reference layers on in mod::iterate
+(orcdchomp_mod.cpp:2752-2768) as a single pure function
+``step: ChompProblem → (ChompProblem, costs)``:
+
+ 1. workspace kinematics + obstacle/self cost gradient  (callbacks)
+ 2. G += A·T + B                                        (chomp.c:515-522)
+ 3. AG = A⁻¹·G, or leapfrog momentum accumulation       (chomp.c:524-548)
+ 4. TSR constraint projection                           (chomp.c:553-600)
+ 5. T −= (1/λ)·AG                                       (chomp.c:604-605)
+ 6. joint-limit repair loop (≤1000 rounds)              (chomp.c:608-655)
+ 7. smoothness cost on the updated trajectory           (chomp.c:660-677)
+
+TPU mapping: the m×m A/A⁻¹ products are batched MXU matmuls shared
+across the problem batch; the repair loop is a ``lax.while_loop``; HMC
+uses per-problem jax.random keys (replacing GSL,
+orcdchomp_mod.cpp:2302-2304); iteration over n_iter is ``lax.scan``;
+the problem batch is ``vmap`` + sharding (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from or_cdchomp_tpu.chomp import cost as cost_mod
+from or_cdchomp_tpu.chomp.constraints import (
+    TSRConstraintSet, eval_tsr_all, project_constraints)
+from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec, HmcState
+from or_cdchomp_tpu.ops import quat as qt
+
+_MAX_LIMIT_FIXES = 1000  # chomp.c:608
+
+
+class ChompEngine:
+    """Static solver context: spec + robot + fields + metric operators.
+
+    One engine serves every problem that shares its static structure
+    (robot, n_points, field registry, constraint layout); problems are
+    pytrees batched along a leading axis.
+    """
+
+    def __init__(self, spec: ChompSpec, model, fields, A, Ainv,
+                 cons: Optional[TSRConstraintSet] = None,
+                 extra_cost: Optional[Callable] = None,
+                 dtype=jnp.float32):
+        from or_cdchomp_tpu.models.robot import CompiledFK
+
+        self.spec = spec
+        self.fields = fields
+        self.dtype = dtype
+        self.A = jnp.asarray(A, dtype=dtype)
+        self.Ainv = jnp.asarray(Ainv, dtype=dtype)
+        self.cons = cons if cons is not None else TSRConstraintSet.build(())
+        self.extra_cost = extra_cost
+
+        act = (np.ones(len(model.sphere_link), dtype=bool)
+               if spec.floating_base else model.sphere_active_mask())
+        # active-block-first ordering (orcdchomp_mod.cpp:2265-2299);
+        # floating base ⇒ all spheres active (orcdchomp_mod.cpp:2273)
+        order = np.concatenate([np.where(act)[0], np.where(~act)[0]])
+        self._sphere_order = order
+        radii = model.sphere_radius[order]
+        n_act = int(act.sum())
+        self.radii_act = jnp.asarray(radii[:n_act], dtype=dtype)
+        self.radii_all = jnp.asarray(radii, dtype=dtype)
+        same = model.sphere_same_link()[order][:, order]
+        self.same_link = jnp.asarray(same[:n_act, :])
+        self.n_spheres_active = n_act
+        self.n_spheres_total = len(order)
+        # FK restricted to the active spheres, in active-first order
+        self.fk = CompiledFK(model, dtype=dtype, sphere_subset=order[:n_act])
+
+    # -- trajectory row bookkeeping ----------------------------------------
+
+    @property
+    def mov_lo(self):
+        return 0 if self.spec.start_tsr else 1
+
+    def get_T_mov(self, traj):
+        return jax.lax.dynamic_slice_in_dim(traj, self.mov_lo, self.spec.m, 0)
+
+    def set_T_mov(self, traj, T_mov):
+        return jax.lax.dynamic_update_slice_in_dim(traj, T_mov, self.mov_lo, 0)
+
+    # -- cost --------------------------------------------------------------
+
+    def _cost_and_grad(self, prob: ChompProblem, want_grad: bool):
+        c, G, kin = cost_mod.total_cost_grad(
+            self.spec, self.fk, self.fields, self.same_link,
+            self.radii_act, self.radii_all, prob, want_grad)
+        if self.extra_cost is not None:
+            # chomp.c:495-501: extra cost is added *after* the 1/m scaling
+            ce, Ge = self.extra_cost(self.get_T_mov(prob.traj))
+            c = c + ce
+            if want_grad:
+                G = G + Ge
+        return c, G, kin
+
+    def smooth_cost(self, prob: ChompProblem, T_mov):
+        """tr(½TᵀAT + BᵀT) + trC  (chomp.c:660-677)."""
+        AT = self.A @ T_mov
+        return (0.5 * jnp.sum(T_mov * AT) + jnp.sum(prob.B * T_mov)
+                + prob.trC)
+
+    def costs_only(self, prob: ChompProblem):
+        """Final cost report without an update (cd_chomp_iterate with
+        do_iteration=0, orcdchomp_mod.cpp:2830-2831)."""
+        c_obs, _, _ = self._cost_and_grad(prob, want_grad=False)
+        c_smooth = self.smooth_cost(prob, self.get_T_mov(prob.traj))
+        return c_obs + c_smooth, c_obs, c_smooth
+
+    # -- HMC ---------------------------------------------------------------
+
+    def _maybe_resample(self, prob: ChompProblem):
+        """HMC momentum resampling (orcdchomp_mod.cpp:2754-2768):
+        at resample iterations AG ~ N(0, 1/√α) with α = 100·e^{0.02·iter},
+        and the next resample iteration is 1 + Exp(λ_resample) away.
+        ``hmc_resample_lambda`` rides in through resample_iter scheduling
+        at problem build (see api.create)."""
+        spec = self.spec
+        if not spec.use_hmc:
+            return prob.AG, prob.hmc
+        it = prob.iteration
+        key, k_noise, k_exp = jax.random.split(prob.hmc.key, 3)
+        alpha = 100.0 * jnp.exp(0.02 * it.astype(self.dtype))
+        noise = jax.random.normal(k_noise, prob.AG.shape, self.dtype) \
+            / jnp.sqrt(alpha)
+        do = it == prob.hmc.resample_iter
+        AG = jnp.where(do, noise, prob.AG)
+        leap = jnp.where(do, True, prob.hmc.leapfrog_first)
+        u = jax.random.uniform(k_exp, (), self.dtype, minval=1e-12)
+        gap = 1 + jnp.floor(-jnp.log(u) / prob.hmc_resample_lambda
+                            ).astype(jnp.int32)
+        nxt = jnp.where(do, it + gap, prob.hmc.resample_iter)
+        return AG, HmcState(key=key, resample_iter=nxt, leapfrog_first=leap)
+
+    # -- joint limits ------------------------------------------------------
+
+    def _limit_repair(self, T_mov, lo, hi):
+        """Iterative joint-limit repair (chomp.c:608-655)."""
+        Ainv = self.Ainv
+
+        def cond(carry):
+            _, cnt, done = carry
+            return (~done) & (cnt < _MAX_LIMIT_FIXES)
+
+        def body(carry):
+            T, cnt, _ = carry
+            Gj = jnp.where(T < lo, lo - T, 0.0) + jnp.where(T > hi, hi - T, 0.0)
+            absG = jnp.abs(Gj).ravel()
+            amax = jnp.argmax(absG)
+            viol = absG[amax]
+            pred = viol > 0.0
+            GjA = Ainv @ Gj
+            denom = GjA.ravel()[amax]
+            scale = 1.01 * Gj.ravel()[amax] / jnp.where(denom == 0.0, 1.0, denom)
+            T_new = T + scale * GjA
+            return (jnp.where(pred, T_new, T), cnt + 1, ~pred)
+
+        T, cnt, _ = jax.lax.while_loop(
+            cond, body, (T_mov, jnp.int32(0), jnp.array(False)))
+        return T, cnt
+
+    # -- the step ----------------------------------------------------------
+
+    def step(self, prob: ChompProblem):
+        """One CHOMP iteration.  Returns (next_problem,
+        (cost_total, cost_obs, cost_smooth)) — obstacle cost measured on
+        the incoming trajectory, smoothness on the updated one, exactly
+        as the reference reports them (chomp.c:475-491, 658-677)."""
+        spec = self.spec
+        lam = prob.lambda_
+        T_mov = self.get_T_mov(prob.traj)
+
+        AG, hmc = self._maybe_resample(prob)
+
+        c_obs, G, kin = self._cost_and_grad(prob, want_grad=True)
+
+        # smoothness gradient (chomp.c:515-522)
+        G = G + self.A @ T_mov + prob.B
+
+        if not spec.use_momentum:
+            AG_new = self.Ainv @ G
+            leap = hmc.leapfrog_first
+        else:
+            # leapfrog half step on first use (chomp.c:533-548)
+            scale = jnp.where(hmc.leapfrog_first, 0.5, 1.0) / lam
+            AG_new = AG + scale * (self.Ainv @ G)
+            leap = jnp.zeros_like(hmc.leapfrog_first)
+
+        # constraint projection (chomp.c:553-600)
+        if self.cons.k_total:
+            val, jac = eval_tsr_all(spec, self.fk, prob, prob.traj,
+                                    self.cons, kin)
+            T_mov = T_mov + project_constraints(
+                spec, self.cons, self.Ainv, lam, AG_new, T_mov, val, jac)
+
+        # gradient descent step (chomp.c:604-605)
+        T_mov = T_mov - AG_new / lam
+
+        # joint limits
+        T_mov, _ = self._limit_repair(T_mov, prob.jlimit_lower,
+                                      prob.jlimit_upper)
+
+        traj = self.set_T_mov(prob.traj, T_mov)
+        if spec.floating_base:
+            # per-iteration quaternion renormalization
+            # (orcdchomp_mod.cpp:2805-2808)
+            traj = jnp.concatenate(
+                [qt.pose_normalize(traj[:, :7]), traj[:, 7:]], axis=1)
+            T_mov = self.get_T_mov(traj)
+
+        c_smooth = self.smooth_cost(prob, T_mov)
+
+        new_prob = prob._replace(
+            traj=traj, AG=AG_new,
+            hmc=HmcState(key=hmc.key, resample_iter=hmc.resample_iter,
+                         leapfrog_first=leap),
+            iteration=prob.iteration + 1,
+        )
+        return new_prob, (c_obs + c_smooth, c_obs, c_smooth)
+
+    # -- drivers -----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def iterate(self, prob: ChompProblem, n_iter: int):
+        """n_iter steps via lax.scan; returns (problem, costs (n_iter, 3))."""
+        def body(p, _):
+            p, costs = self.step(p)
+            return p, jnp.stack(costs)
+
+        prob, costs = jax.lax.scan(body, prob, None, length=n_iter)
+        return prob, costs
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def iterate_batch(self, probs: ChompProblem, n_iter: int):
+        """Batched: probs has a leading problem axis on every leaf."""
+        def one(p):
+            return self.iterate_nojit(p, n_iter)
+
+        return jax.vmap(one)(probs)
+
+    def iterate_nojit(self, prob, n_iter):
+        def body(p, _):
+            p, costs = self.step(p)
+            return p, jnp.stack(costs)
+
+        return jax.lax.scan(body, prob, None, length=n_iter)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def final_costs_batch(self, probs):
+        return jax.vmap(self.costs_only)(probs)

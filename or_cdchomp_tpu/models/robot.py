@@ -1,0 +1,412 @@
+"""Declarative kinematic trees with batched FK and analytic Jacobians.
+
+This replaces the reference's dependence on OpenRAVE for forward
+kinematics and Jacobians (SetActiveDOFValues / CalculateJacobian calls
+in the per-iteration hot loop, orcdchomp_mod.cpp:968-1132).  Instead of
+an external engine mutating shared robot state, the robot is a static
+declarative tree and FK is a pure function, vmappable over
+(problems × waypoints) and traced once under jit.
+
+Design:
+ - Links in topological order; link 0 is the base.  Each non-base link
+   is connected to its parent by one joint: a fixed origin pose in the
+   parent frame followed by a revolute/prismatic/fixed motion.
+ - "Active DOFs" mirror OpenRAVE's active-DOF mechanism
+   (orcdchomp_mod.cpp:2265-2299): non-active joints are *frozen* at
+   their current values at problem-creation time and folded into the
+   fixed origin poses, so the compiled FK touches only active DOFs.
+ - Sphere collision geometry per link (the <orcdchomp><spheres> model,
+   orcdchomp_kdata.h:39-45).  A sphere is "active" iff an active DOF
+   affects its link (orcdchomp_mod.cpp:2270-2273).
+ - Position Jacobians are analytic: one broadcasted
+   ancestor-mask × (axis × (x − origin)) expression over all
+   spheres × DOFs — no per-joint loop in the compiled graph.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from or_cdchomp_tpu.ops import quat as qt
+
+FIXED, REVOLUTE, PRISMATIC = 0, 1, 2
+_JTYPES = {"fixed": FIXED, "revolute": REVOLUTE, "hinge": REVOLUTE,
+           "prismatic": PRISMATIC, "slider": PRISMATIC}
+
+
+def _pose_compose64(pab, pbc):
+    """Pure-numpy float64 pose compose (no jax)."""
+    qab = pab[3:]
+    qbc = pbc[3:]
+    ax, ay, az, aw = qab
+    bx, by, bz, bw = qbc
+    q = np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ])
+    pos = _rotate64(qab, pbc[:3]) + pab[:3]
+    return np.concatenate([pos, q])
+
+
+def _rotate64(q, v):
+    qx, qy, qz, qw = q
+    x, y, z = v
+    qx2, qy2, qz2, qw2 = qx * qx, qy * qy, qz * qz, qw * qw
+    xy, xz, xw = qx * qy, qx * qz, qx * qw
+    yz, yw, zw = qy * qz, qy * qw, qz * qw
+    return np.array([
+        x * (qx2 - qy2 - qz2 + qw2) + 2 * y * (xy - zw) + 2 * z * (xz + yw),
+        2 * x * (xy + zw) + y * (-qx2 + qy2 - qz2 + qw2) + 2 * z * (yz - xw),
+        2 * x * (xz - yw) + 2 * y * (yz + xw) + z * (-qx2 - qy2 + qz2 + qw2),
+    ])
+
+
+def _motion_pose64(jtype, axis, value):
+    if jtype == REVOLUTE:
+        a2 = 0.5 * value
+        q = np.concatenate([np.sin(a2) * axis, [np.cos(a2)]])
+        return np.concatenate([np.zeros(3), q])
+    if jtype == PRISMATIC:
+        return np.concatenate([axis * value, [0.0, 0.0, 0.0, 1.0]])
+    return np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotModel:
+    """Static robot description (host-side numpy; hashable by identity).
+
+    ``dof_index[i]`` is the active-DOF column of link i's joint, or -1
+    when the joint is fixed/frozen.  Frozen joints carry their value in
+    ``q_frozen`` and are folded into ``origin`` by :meth:`set_active`.
+    """
+
+    name: str
+    link_names: tuple
+    joint_names: tuple           # joint into link i ('' for base)
+    parent: np.ndarray           # (L,) int, parent[0] = -1
+    origin: np.ndarray           # (L, 7) float64
+    jtype: np.ndarray            # (L,) int
+    axis: np.ndarray             # (L, 3) float64 (unit, in joint frame)
+    dof_index: np.ndarray        # (L,) int
+    q_frozen: np.ndarray         # (L,) float64
+    n_dof: int
+    dof_limits_lower: np.ndarray  # (n_dof,)
+    dof_limits_upper: np.ndarray
+    dof_max_vel: np.ndarray       # (n_dof,) for retiming
+    sphere_link: np.ndarray       # (S,) int
+    sphere_pos: np.ndarray        # (S, 3)
+    sphere_radius: np.ndarray     # (S,)
+    ee_link: int = -1             # end-effector link (active manipulator)
+    ee_origin: Optional[np.ndarray] = None  # (7,) tool pose in ee link
+
+    # ----- construction ----------------------------------------------------
+
+    @classmethod
+    def from_joints(cls, name, links, joints, spheres=(), ee_link=None,
+                    ee_origin=None):
+        """Build from declarative lists.
+
+        links: sequence of link names (first = base).
+        joints: dict-like rows with keys
+          name, parent, child, type, origin (7 or None), axis (3),
+          limits (lo, hi) or None, max_vel (optional).
+        spheres: rows (link_name, pos3, radius).
+        """
+        link_idx = {n: i for i, n in enumerate(links)}
+        L = len(links)
+        parent = np.full(L, -1, dtype=np.int64)
+        origin = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0]), (L, 1))
+        jtype = np.zeros(L, dtype=np.int64)
+        axis = np.tile(np.array([0.0, 0.0, 1.0]), (L, 1))
+        jnames = [""] * L
+        limits = {}
+        max_vels = {}
+        dof_index = np.full(L, -1, dtype=np.int64)
+        ndof = 0
+        for j in joints:
+            ci = link_idx[j["child"]]
+            parent[ci] = link_idx[j["parent"]]
+            jnames[ci] = j["name"]
+            jtype[ci] = _JTYPES[j.get("type", "revolute")]
+            if j.get("origin") is not None:
+                origin[ci] = np.asarray(j["origin"], dtype=np.float64)
+            if j.get("axis") is not None:
+                a = np.asarray(j["axis"], dtype=np.float64)
+                axis[ci] = a / np.linalg.norm(a)
+            if jtype[ci] != FIXED:
+                dof_index[ci] = ndof
+                limits[ndof] = j.get("limits") or (-np.inf, np.inf)
+                max_vels[ndof] = j.get("max_vel", 1.0)
+                ndof += 1
+        # verify topological ordering
+        for i in range(1, L):
+            if parent[i] < 0 or parent[i] >= i:
+                raise ValueError(f"links must be topologically ordered; "
+                                 f"link {links[i]} has parent index {parent[i]}")
+        lo = np.array([limits[d][0] for d in range(ndof)], dtype=np.float64)
+        hi = np.array([limits[d][1] for d in range(ndof)], dtype=np.float64)
+        mv = np.array([max_vels[d] for d in range(ndof)], dtype=np.float64)
+        sl = np.array([link_idx[s[0]] for s in spheres], dtype=np.int64)
+        sp = np.array([s[1] for s in spheres], dtype=np.float64).reshape(-1, 3)
+        sr = np.array([s[2] for s in spheres], dtype=np.float64)
+        return cls(
+            name=name, link_names=tuple(links), joint_names=tuple(jnames),
+            parent=parent, origin=origin, jtype=jtype, axis=axis,
+            dof_index=dof_index, q_frozen=np.zeros(L), n_dof=ndof,
+            dof_limits_lower=lo, dof_limits_upper=hi, dof_max_vel=mv,
+            sphere_link=sl, sphere_pos=sp, sphere_radius=sr,
+            ee_link=link_idx[ee_link] if ee_link is not None else -1,
+            ee_origin=(np.asarray(ee_origin, dtype=np.float64)
+                       if ee_origin is not None else None),
+        )
+
+    @property
+    def dof_names(self):
+        inv = {}
+        for i in range(len(self.link_names)):
+            d = self.dof_index[i]
+            if d >= 0:
+                inv[int(d)] = self.joint_names[i]
+        return tuple(inv[d] for d in range(self.n_dof))
+
+    def set_active(self, active: Sequence, q_current=None) -> "RobotModel":
+        """Freeze all DOFs except ``active`` (names or indices) at
+        ``q_current`` (full config, defaults to zeros), renumbering the
+        remaining DOFs.  Mirrors OpenRAVE SetActiveDOFs +
+        orcdchomp's frozen-inactive-joint semantics.
+        """
+        names = self.dof_names
+        active_ids = []
+        for a in active:
+            active_ids.append(names.index(a) if isinstance(a, str) else int(a))
+        q_current = (np.zeros(self.n_dof) if q_current is None
+                     else np.asarray(q_current, dtype=np.float64))
+
+        L = len(self.link_names)
+        new_dof = np.full(L, -1, dtype=np.int64)
+        new_frozen = self.q_frozen.copy()
+        remap = {old: new for new, old in enumerate(active_ids)}
+        for i in range(L):
+            d = int(self.dof_index[i])
+            if d < 0:
+                continue
+            if d in remap:
+                new_dof[i] = remap[d]
+            else:
+                new_frozen[i] = q_current[d]
+        lo = self.dof_limits_lower[active_ids]
+        hi = self.dof_limits_upper[active_ids]
+        mv = self.dof_max_vel[active_ids]
+        return dataclasses.replace(
+            self, dof_index=new_dof, q_frozen=new_frozen,
+            n_dof=len(active_ids), dof_limits_lower=lo, dof_limits_upper=hi,
+            dof_max_vel=mv,
+        )
+
+    # ----- static analysis -------------------------------------------------
+
+    def folded(self):
+        """Fold frozen joints into origin poses; returns
+        (origin (L,7) with frozen motion composed in, is_active (L,) bool).
+        """
+        L = len(self.link_names)
+        origin = self.origin.copy()
+        active = np.zeros(L, dtype=bool)
+        for i in range(L):
+            if self.dof_index[i] >= 0:
+                active[i] = True
+            elif self.jtype[i] != FIXED:
+                m = _motion_pose64(int(self.jtype[i]), self.axis[i],
+                                   float(self.q_frozen[i]))
+                origin[i] = _pose_compose64(origin[i], m)
+        return origin, active
+
+    def ancestor_dof_mask(self):
+        """(L, n_dof) bool: does active DOF d affect link i?
+        (the DoesAffect test, orcdchomp_mod.cpp:2270-2272)"""
+        L = len(self.link_names)
+        mask = np.zeros((L, self.n_dof), dtype=bool)
+        for i in range(L):
+            j = i
+            while j > 0:
+                d = int(self.dof_index[j])
+                if d >= 0:
+                    mask[i, d] = True
+                j = int(self.parent[j])
+        return mask
+
+    def sphere_active_mask(self):
+        """(S,) bool: sphere affected by an active DOF."""
+        return self.ancestor_dof_mask()[self.sphere_link].any(axis=1)
+
+    def sphere_same_link(self):
+        """(S, S) bool: spheres on the same link (self-collision skip,
+        orcdchomp_mod.cpp:1256)."""
+        return self.sphere_link[:, None] == self.sphere_link[None, :]
+
+    def sphere_adjacent_link(self):
+        """(S, S) bool: same link OR links connected through only fixed
+        /frozen joints OR parent-child — the pairs a hard self-collision
+        *check* must ignore (OpenRAVE's adjacency filtering; the soft
+        epsilon_self cost intentionally keeps parent-child pairs)."""
+        L = len(self.link_names)
+        # map each link to its nearest "articulated root": walk up
+        # through fixed/frozen joints
+        art = np.arange(L)
+        for i in range(L):
+            j = i
+            while j > 0 and self.dof_index[j] < 0:
+                j = int(self.parent[j])
+            art[i] = j
+        # parent articulated link of each articulated link
+        def art_parent(i):
+            j = int(self.parent[i])
+            while j > 0 and self.dof_index[j] < 0:
+                j = int(self.parent[j])
+            return j if i > 0 else -1
+        adj = np.zeros((L, L), dtype=bool)
+        for i in range(L):
+            ai = art[i]
+            for j in range(L):
+                aj = art[j]
+                if ai == aj:
+                    adj[i, j] = True
+                elif art_parent(ai) == aj or art_parent(aj) == ai:
+                    adj[i, j] = True
+        return adj[self.sphere_link][:, self.sphere_link]
+
+
+class CompiledFK:
+    """Jit-friendly FK closures for a RobotModel with frozen joints
+    folded in.  All static structure is baked as Python constants or
+    jnp constants at construction; the returned functions are pure in
+    (q, base_pose)."""
+
+    def __init__(self, model: RobotModel, dtype=jnp.float32,
+                 sphere_subset=None):
+        """sphere_subset: optional index array selecting (and ordering)
+        the spheres this FK instance computes — the engine uses the
+        active-first ordering (orcdchomp_mod.cpp:2265-2299)."""
+        self.model = model
+        self.dtype = dtype
+        origin64, self._link_active = model.folded()
+        self._origin = jnp.asarray(origin64, dtype=dtype)
+        self._axis = jnp.asarray(model.axis, dtype=dtype)
+        self._parent = [int(p) for p in model.parent]
+        self._jtype = [int(t) for t in model.jtype]
+        self._dof = [int(d) for d in model.dof_index]
+        self.n_dof = model.n_dof
+        self.n_links = len(model.link_names)
+        # per-DOF link index (link whose joint is that DOF)
+        self._dof_link = [0] * model.n_dof
+        for i, d in enumerate(self._dof):
+            if d >= 0:
+                self._dof_link[d] = i
+        subset = (np.arange(len(model.sphere_link)) if sphere_subset is None
+                  else np.asarray(sphere_subset))
+        self.sphere_subset = subset
+        self._sphere_link = jnp.asarray(model.sphere_link[subset])
+        self._sphere_pos = jnp.asarray(model.sphere_pos[subset], dtype=dtype)
+        self.sphere_radius = jnp.asarray(
+            model.sphere_radius[subset], dtype=dtype)
+        # (S, n_dof) DOF-affects-sphere mask
+        mask = model.ancestor_dof_mask()[model.sphere_link[subset]]
+        self._sphere_dof_mask = jnp.asarray(mask)
+        self._jtype_per_dof = jnp.asarray(
+            [self._jtype[self._dof_link[d]] for d in range(model.n_dof)])
+
+    def link_poses(self, q, base_pose=None):
+        """World poses of all links.  q: (..., n_dof); returns
+        (poses (..., L, 7), anchors (..., n_dof, 7)) where anchors are
+        the joint frames *before* joint motion (world axis/origin of
+        each active DOF)."""
+        q = jnp.asarray(q, dtype=self.dtype)
+        batch = q.shape[:-1]
+        ident = jnp.broadcast_to(qt.pose_identity(self.dtype), batch + (7,))
+        poses = [base_pose if base_pose is not None else ident]
+        anchors = [None] * self.n_dof
+        for i in range(1, self.n_links):
+            anchor = qt.pose_compose(poses[self._parent[i]], self._origin[i])
+            d = self._dof[i]
+            if d < 0:
+                poses.append(anchor)
+                continue
+            anchors[d] = anchor
+            ax = self._axis[i]
+            if self._jtype[i] == REVOLUTE:
+                mq = qt.quat_from_axisangle(
+                    jnp.broadcast_to(ax, batch + (3,)), q[..., d])
+                motion = jnp.concatenate(
+                    [jnp.zeros(batch + (3,), self.dtype), mq], axis=-1)
+            else:  # prismatic
+                pos = ax * q[..., d][..., None]
+                motion = jnp.concatenate(
+                    [pos, jnp.broadcast_to(qt.quat_identity(self.dtype),
+                                           batch + (4,))], axis=-1)
+            poses.append(qt.pose_compose(anchor, motion))
+        poses_arr = jnp.stack(poses, axis=-2)
+        anchors_arr = jnp.stack(anchors, axis=-2) if self.n_dof else \
+            jnp.zeros(batch + (0, 7), self.dtype)
+        return poses_arr, anchors_arr
+
+    def sphere_positions(self, link_poses):
+        """World sphere centers (..., S, 3) from link poses."""
+        lp = jnp.take(link_poses, self._sphere_link, axis=-2)
+        return qt.pose_apply(lp, self._sphere_pos)
+
+    def point_jacobian(self, anchors, x, link_mask):
+        """Position Jacobian of world point(s) w.r.t. active DOFs.
+
+        anchors: (..., n_dof, 7) joint world frames (pre-motion).
+        x: (..., 3) point(s); link_mask: (..., n_dof) bool — whether
+        each DOF affects the point's link.
+        Returns (..., 3, n_dof).
+
+        Revolute column: axis_w × (x − origin_w); prismatic: axis_w —
+        the same quantity OpenRAVE's CalculateJacobian produces.
+        """
+        axis_local = jnp.stack(
+            [self._axis[self._dof_link[d]] for d in range(self.n_dof)]) \
+            if self.n_dof else jnp.zeros((0, 3), self.dtype)
+        axis_w = qt.quat_rotate(anchors[..., 3:], axis_local)   # (..., D, 3)
+        origin_w = anchors[..., :3]                             # (..., D, 3)
+        rel = x[..., None, :] - origin_w                        # (..., D, 3)
+        rev_col = jnp.cross(axis_w, rel)
+        col = jnp.where(
+            (self._jtype_per_dof == REVOLUTE)[..., None], rev_col, axis_w)
+        col = jnp.where(link_mask[..., None], col, 0.0)
+        return jnp.swapaxes(col, -1, -2)                        # (..., 3, D)
+
+    def sphere_jacobians(self, anchors, sphere_x):
+        """Jacobians for all spheres: (..., S, 3, n_dof).
+
+        sphere_x: (..., S, 3) world sphere centers.
+        """
+        mask = self._sphere_dof_mask  # (S, D)
+        jac = self.point_jacobian(
+            anchors[..., None, :, :], sphere_x, mask)
+        return jac
+
+    def fk_spheres(self, q, base_pose=None):
+        """One-call convenience: (sphere_x (..., S, 3),
+        jac (..., S, 3, n_dof), link_poses (..., L, 7))."""
+        link_poses, anchors = self.link_poses(q, base_pose)
+        x = self.sphere_positions(link_poses)
+        jac = self.sphere_jacobians(anchors, x)
+        return x, jac, link_poses
+
+    def sphere_positions_jit(self, q, base_pose):
+        """Jitted (cached) sphere-position FK for host-side callers."""
+        if not hasattr(self, "_jit_sphere_pos"):
+            def f(q, base_pose):
+                lp, _ = self.link_poses(q, base_pose)
+                return self.sphere_positions(lp)
+            self._jit_sphere_pos = jax.jit(f)
+        return self._jit_sphere_pos(q, base_pose)

@@ -1,0 +1,203 @@
+"""3-D value grids with libcd-compatible lookup / interp / gradient.
+
+The reference grid engine (src/libcd/grid.c) stores row-major N-d cell
+data over a box ``[0, lengths]`` with cell centers at
+``(0.5+sub)/size*length`` and implements
+
+ - point → cell index lookup          (grid.c:191-209)
+ - per-axis one-sided finite-difference gradient (grid.c:331-384)
+ - first-order Taylor "interp" from the cell center using that same
+   one-sided gradient                 (grid.c:386-454)
+
+This module reimplements those exact semantics as batched gather-based
+JAX functions: each query point costs 4 gathers (center cell + one
+neighbor per axis), fully vectorized over (problems × waypoints ×
+spheres × fields).  The planner only ever uses 3-d grids
+(orcdchomp_mod.cpp:297-722), so the TPU build is specialized to 3-d.
+
+Grids are pytrees (`Grid3D`) so they live in HBM and flow through jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class Grid3D(NamedTuple):
+    """A single 3-d grid. ``data`` has shape (nx, ny, nz)."""
+
+    data: jnp.ndarray      # (nx, ny, nz) float
+    lengths: jnp.ndarray   # (3,) float, side lengths in grid frame
+
+    @property
+    def sizes(self):
+        return self.data.shape
+
+    @classmethod
+    def create(cls, sizes, lengths, fill=0.0, dtype=jnp.float32):
+        data = jnp.full(tuple(int(s) for s in sizes), fill, dtype=dtype)
+        return cls(data=data, lengths=jnp.asarray(lengths, dtype=dtype))
+
+    def cell_extents(self):
+        """Per-axis cell side length."""
+        sizes = jnp.asarray(self.data.shape, dtype=self.lengths.dtype)
+        return self.lengths / sizes
+
+    def center_of_index(self, subs):
+        """Grid-frame position of cell center(s); subs (..., 3) int.
+
+        (grid.c:160-190)
+        """
+        sizes = jnp.asarray(self.data.shape, dtype=self.lengths.dtype)
+        return (subs.astype(self.lengths.dtype) + 0.5) / sizes * self.lengths
+
+    def all_centers(self):
+        """Grid-frame positions of every cell center, shape (nx,ny,nz,3)."""
+        nx, ny, nz = self.data.shape
+        ii, jj, kk = jnp.meshgrid(
+            jnp.arange(nx), jnp.arange(ny), jnp.arange(nz), indexing="ij"
+        )
+        subs = jnp.stack([ii, jj, kk], axis=-1)
+        return self.center_of_index(subs)
+
+
+def _lookup_subs(sizes_f, lengths, p):
+    """Point(s) → (subs, in_bounds).  Mirrors grid.c:191-228: x=p/len,
+    reject outside [0,1], sub=floor(x*size) clamped to size-1."""
+    x = p / lengths
+    in_bounds = jnp.all((x >= 0.0) & (x <= 1.0), axis=-1)
+    sub = jnp.floor(x * sizes_f).astype(jnp.int32)
+    sub = jnp.clip(sub, 0, sizes_f.astype(jnp.int32) - 1)
+    return sub, in_bounds
+
+
+def grid_interp_grad(data, lengths, p):
+    """libcd-semantics interp + gradient at grid-frame point(s) p.
+
+    Args:
+      data: (nx, ny, nz) grid values.
+      lengths: (3,) grid side lengths.
+      p: (..., 3) query points in the grid frame.
+
+    Returns:
+      (value, grad, in_bounds): value (...,), grad (..., 3) w.r.t. the
+      grid frame, in_bounds (...,) bool.  Out-of-bounds queries return
+      value=+inf, grad=0 (callers treat them as "field does not contain
+      the point", orcdchomp_mod.cpp:1179-1182).
+
+    Per axis the gradient uses the previous cell if ``p`` is left of the
+    cell center (next cell otherwise), with edge cells forced inward —
+    exactly grid.c:331-454.  The interp value is the cell-center value
+    plus the one-sided gradient times the offset from the center.
+    """
+    shape = data.shape
+    sizes_f = jnp.asarray(shape, dtype=p.dtype)
+    sub, in_bounds = _lookup_subs(sizes_f, lengths, p)
+
+    center = (sub.astype(p.dtype) + 0.5) / sizes_f * lengths
+    # Choose neighbor direction per axis: True → use next (sub, sub+1),
+    # False → use previous (sub-1, sub).  Edge handling first.
+    sizes_i = jnp.asarray(shape, dtype=jnp.int32)
+    use_next = p >= center
+    use_next = jnp.where(sub == 0, True, use_next)
+    use_next = jnp.where(sub == sizes_i - 1, False, use_next)
+
+    flat = data.reshape(-1)
+    sy, sz = shape[1], shape[2]
+
+    def flat_idx(s):
+        return (s[..., 0] * sy + s[..., 1]) * sz + s[..., 2]
+
+    v0 = jnp.take(flat, flat_idx(sub), mode="clip")
+
+    # neighbor index per axis (offset ±1 along that axis only)
+    offs = jnp.where(use_next, 1, -1)  # (..., 3)
+    grads = []
+    for axis in range(3):
+        nb = sub.at[..., axis].add(offs[..., axis])
+        vn = jnp.take(flat, flat_idx(nb), mode="clip")
+        # diff oriented low→high: next ⇒ vn - v0 ; prev ⇒ v0 - vn
+        diff = jnp.where(use_next[..., axis], vn - v0, v0 - vn)
+        grads.append(diff * sizes_f[axis] / lengths[axis])
+    grad = jnp.stack(grads, axis=-1)
+
+    value = v0 + jnp.sum(grad * (p - center), axis=-1)
+    inf = jnp.asarray(jnp.inf, dtype=value.dtype)
+    value = jnp.where(in_bounds, value, inf)
+    grad = jnp.where(in_bounds[..., None], grad, 0.0)
+    return value, grad, in_bounds
+
+
+def grid_interp(data, lengths, p):
+    """Interp only (same semantics as grid_interp_grad)."""
+    value, _, in_bounds = grid_interp_grad(data, lengths, p)
+    return value, in_bounds
+
+
+def pad_stack_grids(grids: list[Grid3D]):
+    """Stack variable-size grids into padded arrays for jit-friendly
+    multi-field lookups.
+
+    Returns (data (F, mx, my, mz), sizes (F, 3) int32, lengths (F, 3)).
+    Padding cells are +inf so they can never win a min-select, and the
+    true ``sizes`` keep index arithmetic exact.
+    """
+    f = len(grids)
+    shapes = np.array([g.data.shape for g in grids], dtype=np.int32)
+    mx, my, mz = shapes.max(axis=0)
+    data = np.full((f, mx, my, mz), np.inf, dtype=np.float32)
+    lengths = np.zeros((f, 3), dtype=np.float32)
+    for i, g in enumerate(grids):
+        sx, sy, sz = g.data.shape
+        data[i, :sx, :sy, :sz] = np.asarray(g.data, dtype=np.float32)
+        lengths[i] = np.asarray(g.lengths, dtype=np.float32)
+    return jnp.asarray(data), jnp.asarray(shapes), jnp.asarray(lengths)
+
+
+def multigrid_interp_grad(data, sizes, lengths, p):
+    """Interp + grad across F padded grids at per-field points.
+
+    Args:
+      data: (F, mx, my, mz) padded grid stack.
+      sizes: (F, 3) int32 true sizes.
+      lengths: (F, 3) side lengths.
+      p: (..., F, 3) per-field query points (already in each grid frame).
+
+    Returns (value (..., F), grad (..., F, 3), in_bounds (..., F)).
+    """
+    sizes_f = sizes.astype(p.dtype)
+    x = p / lengths
+    in_bounds = jnp.all((x >= 0.0) & (x <= 1.0), axis=-1)
+    sub = jnp.floor(x * sizes_f).astype(jnp.int32)
+    sub = jnp.clip(sub, 0, sizes - 1)
+
+    center = (sub.astype(p.dtype) + 0.5) / sizes_f * lengths
+    use_next = p >= center
+    use_next = jnp.where(sub == 0, True, use_next)
+    use_next = jnp.where(sub == sizes - 1, False, use_next)
+
+    f, mx, my, mz = data.shape
+    flat = data.reshape(-1)
+    fidx = jnp.arange(f, dtype=jnp.int32)
+
+    def flat_idx(s):
+        return ((fidx * mx + s[..., 0]) * my + s[..., 1]) * mz + s[..., 2]
+
+    v0 = jnp.take(flat, flat_idx(sub), mode="clip")
+    offs = jnp.where(use_next, 1, -1)
+    grads = []
+    for axis in range(3):
+        nb = sub.at[..., axis].add(offs[..., axis])
+        vn = jnp.take(flat, flat_idx(nb), mode="clip")
+        diff = jnp.where(use_next[..., axis], vn - v0, v0 - vn)
+        grads.append(diff * sizes_f[..., axis] / lengths[..., axis])
+    grad = jnp.stack(grads, axis=-1)
+
+    value = v0 + jnp.sum(grad * (p - center), axis=-1)
+    inf = jnp.asarray(jnp.inf, dtype=value.dtype)
+    value = jnp.where(in_bounds, value, inf)
+    grad = jnp.where(in_bounds[..., None], grad, 0.0)
+    return value, grad, in_bounds

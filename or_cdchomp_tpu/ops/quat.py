@@ -1,0 +1,307 @@
+"""Batched quaternion / pose7 algebra.
+
+A ``pose`` is a length-7 vector ``[x, y, z, qx, qy, qz, qw]`` giving the
+transform of frame B in frame A (position then unit quaternion).  All
+functions operate on arrays whose *last* axis is the pose/quat axis and
+broadcast over any leading batch axes — shaped for ``vmap``/``pjit``.
+
+Behavioral parity with libcd's cd_kin quaternion/pose layer
+(reference: src/libcd/kin.c:33-326 for identity/normalize/compose/
+invert, kin.c:348-420 for R/H conversion, kin.c:585-752 for xyz-ypr and
+its Jacobian).  Implemented from the underlying math, designed for the
+TPU VPU: pure elementwise arithmetic, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_identity(dtype=jnp.float32):
+    return jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype)
+
+
+def pose_identity(dtype=jnp.float32):
+    return jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0], dtype=dtype)
+
+
+def quat_normalize(q):
+    """Unit-normalize quaternion(s). (kin.c:55-62)"""
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def pose_normalize(pose):
+    """Normalize the quaternion part of pose(s). (kin.c:64-70)"""
+    pos, q = pose[..., :3], pose[..., 3:]
+    return jnp.concatenate([pos, quat_normalize(q)], axis=-1)
+
+
+def quat_flip_closerto(q, target):
+    """Negate q where -q is closer (L2) to target. (kin.c:72-90)"""
+    d_orig = jnp.sum((q - target) ** 2, axis=-1, keepdims=True)
+    d_flip = jnp.sum((-q - target) ** 2, axis=-1, keepdims=True)
+    return jnp.where(d_flip < d_orig, -q, q)
+
+
+def pose_flip_closerto(pose, target):
+    """Quaternion-flip pose(s) toward target pose(s). (kin.c:92-115)"""
+    pos = pose[..., :3]
+    q = quat_flip_closerto(pose[..., 3:], target[..., 3:])
+    return jnp.concatenate([pos, q], axis=-1)
+
+
+def quat_compose(qab, qbc):
+    """Hamilton product q_ac = q_ab * q_bc. (kin.c:117-136)"""
+    ax, ay, az, aw = (qab[..., i] for i in range(4))
+    bx, by, bz, bw = (qbc[..., i] for i in range(4))
+    return jnp.stack(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        axis=-1,
+    )
+
+
+def quat_rotate(q, v):
+    """Rotate 3-vector(s) v by quaternion(s) q. (kin.c:389-420)"""
+    qx, qy, qz, qw = (q[..., i] for i in range(4))
+    x, y, z = (v[..., i] for i in range(3))
+    qx2, qy2, qz2, qw2 = qx * qx, qy * qy, qz * qz, qw * qw
+    xy, xz, xw = qx * qy, qx * qz, qx * qw
+    yz, yw, zw = qy * qz, qy * qw, qz * qw
+    return jnp.stack(
+        [
+            x * (qx2 - qy2 - qz2 + qw2) + 2 * y * (xy - zw) + 2 * z * (xz + yw),
+            2 * x * (xy + zw) + y * (-qx2 + qy2 - qz2 + qw2) + 2 * z * (yz - xw),
+            2 * x * (xz - yw) + 2 * y * (yz + xw) + z * (-qx2 - qy2 + qz2 + qw2),
+        ],
+        axis=-1,
+    )
+
+
+def pose_compose(pab, pbc):
+    """Compose pose_ac = pose_ab ∘ pose_bc. (kin.c:138-212)"""
+    q = quat_compose(pab[..., 3:], pbc[..., 3:])
+    pos = quat_rotate(pab[..., 3:], pbc[..., :3]) + pab[..., :3]
+    return jnp.concatenate([pos, q], axis=-1)
+
+
+def pose_apply(pab, pos_bc):
+    """Transform point(s): pos_ac = R_ab * pos_bc + t_ab. (kin.c:214-245)"""
+    return quat_rotate(pab[..., 3:], pos_bc) + pab[..., :3]
+
+
+def pose_rotate_vec(pab, vec_bc):
+    """Rotate free vector(s) (velocity etc.) by pose rotation. (kin.c:247-271)"""
+    return quat_rotate(pab[..., 3:], vec_bc)
+
+
+def quat_invert(q):
+    """Conjugate of unit quaternion(s). (kin.c:273-287)"""
+    return jnp.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
+
+
+def pose_invert(pose):
+    """Invert pose(s). (kin.c:289-326)"""
+    qinv = quat_invert(pose[..., 3:])
+    pos = -quat_rotate(qinv, pose[..., :3])
+    return jnp.concatenate([pos, qinv], axis=-1)
+
+
+def quat_to_R(q):
+    """Unit quaternion(s) → rotation matrix (..., 3, 3). (kin.c:348-368)"""
+    qx, qy, qz, qw = (q[..., i] for i in range(4))
+    xx, xy, xz, xw = qx * qx, qx * qy, qx * qz, qx * qw
+    yy, yz, yw = qy * qy, qy * qz, qy * qw
+    zz, zw = qz * qz, qz * qw
+    r = jnp.stack(
+        [
+            1 - 2 * (yy + zz), 2 * (xy - zw), 2 * (xz + yw),
+            2 * (xy + zw), 1 - 2 * (xx + zz), 2 * (yz - xw),
+            2 * (xz - yw), 2 * (yz + xw), 1 - 2 * (xx + yy),
+        ],
+        axis=-1,
+    )
+    return r.reshape(r.shape[:-1] + (3, 3))
+
+
+def quat_from_R(R):
+    """Rotation matrix (..., 3, 3) → unit quaternion(s).
+
+    Shepperd's branch-free-ish method (kin.c:422-508 uses the trace
+    variant); here all four candidate solutions are computed and the
+    best-conditioned (largest denominator) is selected with `where`,
+    which is both numerically robust and TPU-friendly.
+    """
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # four candidates, indexed by which diagonal term dominates
+    def cand_w():
+        s = jnp.sqrt(jnp.maximum(tr + 1.0, 1e-12)) * 2  # s = 4*qw
+        return jnp.stack([(m21 - m12) / s, (m02 - m20) / s, (m10 - m01) / s, 0.25 * s], -1)
+
+    def cand_x():
+        s = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 2
+        return jnp.stack([0.25 * s, (m01 + m10) / s, (m02 + m20) / s, (m21 - m12) / s], -1)
+
+    def cand_y():
+        s = jnp.sqrt(jnp.maximum(1.0 + m11 - m00 - m22, 1e-12)) * 2
+        return jnp.stack([(m01 + m10) / s, 0.25 * s, (m12 + m21) / s, (m02 - m20) / s], -1)
+
+    def cand_z():
+        s = jnp.sqrt(jnp.maximum(1.0 + m22 - m00 - m11, 1e-12)) * 2
+        return jnp.stack([(m02 + m20) / s, (m12 + m21) / s, 0.25 * s, (m10 - m01) / s], -1)
+
+    qw, qx, qy, qz = cand_w(), cand_x(), cand_y(), cand_z()
+    # selection criteria
+    use_w = (tr > 0.0)[..., None]
+    x_max = ((m00 > m11) & (m00 > m22))[..., None]
+    y_max = (m11 > m22)[..., None]
+    q = jnp.where(use_w, qw, jnp.where(x_max, qx, jnp.where(y_max, qy, qz)))
+    return quat_normalize(q)
+
+
+def pose_to_H(pose):
+    """Pose(s) → homogeneous matrix (..., 4, 4). (kin.c:470-508)"""
+    R = quat_to_R(pose[..., 3:])
+    t = pose[..., :3]
+    top = jnp.concatenate([R, t[..., :, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=pose.dtype), top.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def pose_from_H(H):
+    """Homogeneous matrix (..., 4, 4) → pose(s)."""
+    q = quat_from_R(H[..., :3, :3])
+    return jnp.concatenate([H[..., :3, 3], q], axis=-1)
+
+
+def pose_from_dR(d, R):
+    """Position + rotation matrix → pose. (kin.c:510-517)"""
+    return jnp.concatenate([d, quat_from_R(R)], axis=-1)
+
+
+def quat_from_axisangle(axis, angle):
+    """so(3) exp map. (kin.c:532-543)"""
+    a2 = 0.5 * angle
+    s = jnp.sin(a2)
+    return jnp.concatenate(
+        [s[..., None] * axis, jnp.cos(a2)[..., None]], axis=-1
+    )
+
+
+def quat_to_axisangle(q):
+    """Unit quaternion → (axis, angle). (kin.c:519-530)"""
+    a2 = jnp.arccos(jnp.clip(q[..., 3], -1.0, 1.0))
+    s = jnp.sin(a2)
+    safe = jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+    axis = q[..., :3] / safe[..., None]
+    axis = jnp.where(
+        (jnp.abs(s) < 1e-12)[..., None],
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], q.dtype), axis.shape),
+        axis,
+    )
+    return axis, 2.0 * a2
+
+
+def quat_to_ypr(q):
+    """Quaternion → yaw-pitch-roll, with gimbal-lock guards.
+
+    (kin.c:587-615; same ±0.49999 singularity thresholds.)
+    """
+    qx, qy, qz, qw = (q[..., i] for i in range(4))
+    sinp2 = qw * qy - qz * qx
+    yaw_n = jnp.arctan2(2.0 * (qw * qz + qx * qy), 1.0 - 2.0 * (qy * qy + qz * qz))
+    pitch_n = jnp.arcsin(jnp.clip(2.0 * sinp2, -1.0, 1.0))
+    roll_n = jnp.arctan2(2.0 * (qw * qx + qy * qz), 1.0 - 2.0 * (qx * qx + qy * qy))
+    at = jnp.arctan2(qx, qw)
+    qtr = jnp.pi / 2.0
+    hi = sinp2 > 0.49999
+    lo = sinp2 < -0.49999
+    yaw = jnp.where(hi, -2.0 * at, jnp.where(lo, 2.0 * at, yaw_n))
+    pitch = jnp.where(hi, qtr, jnp.where(lo, -qtr, pitch_n))
+    roll = jnp.where(hi | lo, 0.0, roll_n)
+    return jnp.stack([yaw, pitch, roll], axis=-1)
+
+
+def pose_to_xyzypr(pose):
+    """Pose → [x y z yaw pitch roll]. (kin.c:617-646)"""
+    return jnp.concatenate([pose[..., :3], quat_to_ypr(pose[..., 3:])], axis=-1)
+
+
+def quat_to_ypr_J(q):
+    """d(ypr)/d(quat): (..., 3, 4). No gimbal-lock handling, matching
+    the reference (kin.c:648-678)."""
+    qx, qy, qz, qw = (q[..., i] for i in range(4))
+    # yaw
+    nu = 2.0 * (qw * qz + qx * qy)
+    de = 1.0 - 2.0 * (qy * qy + qz * qz)
+    den = de * de + nu * nu
+    Jy = jnp.stack(
+        [
+            de / den * (2 * qy),
+            de / den * (2 * qx) - nu / den * (-4 * qy),
+            de / den * (2 * qw) - nu / den * (-4 * qz),
+            de / den * (2 * qz),
+        ],
+        axis=-1,
+    )
+    # pitch
+    asq = 2.0 * (qw * qy - qz * qx)
+    inv = 1.0 / jnp.sqrt(jnp.maximum(1.0 - asq * asq, 1e-12))
+    Jp = jnp.stack([inv * 2 * (-qz), inv * 2 * qw, inv * 2 * (-qx), inv * 2 * qy], axis=-1)
+    # roll
+    nu2 = 2.0 * (qw * qx + qy * qz)
+    de2 = 1.0 - 2.0 * (qx * qx + qy * qy)
+    den2 = de2 * de2 + nu2 * nu2
+    Jr = jnp.stack(
+        [
+            de2 / den2 * (2 * qw) - nu2 / den2 * (-4 * qx),
+            de2 / den2 * (2 * qz) - nu2 / den2 * (-4 * qy),
+            de2 / den2 * (2 * qy),
+            de2 / den2 * (2 * qx),
+        ],
+        axis=-1,
+    )
+    return jnp.stack([Jy, Jp, Jr], axis=-2)
+
+
+def pose_to_xyzypr_J(pose):
+    """d(xyzypr)/d(pose7): (..., 6, 7). (kin.c:680-715)"""
+    q = pose[..., 3:]
+    batch = pose.shape[:-1]
+    Jq = quat_to_ypr_J(q)  # (..., 3, 4)
+    J = jnp.zeros(batch + (6, 7), dtype=pose.dtype)
+    eye = jnp.eye(3, dtype=pose.dtype)
+    J = J.at[..., :3, :3].set(jnp.broadcast_to(eye, batch + (3, 3)))
+    J = J.at[..., 3:, 3:].set(Jq)
+    return J
+
+
+def quat_from_ypr(ypr):
+    """Yaw-pitch-roll → quaternion. (kin.c:717-731)"""
+    cy2, sy2 = jnp.cos(0.5 * ypr[..., 0]), jnp.sin(0.5 * ypr[..., 0])
+    cp2, sp2 = jnp.cos(0.5 * ypr[..., 1]), jnp.sin(0.5 * ypr[..., 1])
+    cr2, sr2 = jnp.cos(0.5 * ypr[..., 2]), jnp.sin(0.5 * ypr[..., 2])
+    return jnp.stack(
+        [
+            -sy2 * sp2 * cr2 + cy2 * cp2 * sr2,
+            cy2 * sp2 * cr2 + sy2 * cp2 * sr2,
+            -cy2 * sp2 * sr2 + sy2 * cp2 * cr2,
+            sy2 * sp2 * sr2 + cy2 * cp2 * cr2,
+        ],
+        axis=-1,
+    )
+
+
+def pose_from_xyzypr(xyzypr):
+    """[x y z yaw pitch roll] → pose. (kin.c:733-752)"""
+    return jnp.concatenate([xyzypr[..., :3], quat_from_ypr(xyzypr[..., 3:])], axis=-1)

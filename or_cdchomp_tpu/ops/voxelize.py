@@ -1,0 +1,181 @@
+"""Analytic scene primitives: voxelization + exact point distances.
+
+The reference voxelizes by sweeping a probe cube kinbody through every
+grid cell and asking the OpenRAVE collision checker
+(orcdchomp_mod.cpp:495-525).  There is no collision engine on TPU, so
+scenes are described analytically — oriented boxes, spheres, cylinders,
+capsules — and occupancy is computed in-graph as a batched
+cell-cube-vs-primitive overlap test over all cells × primitives:
+
+ - sphere vs cell cube: exact (closest-point distance ≤ radius)
+ - oriented box vs cell cube: exact 15-axis SAT
+ - cylinder/capsule vs cell cube: conservative via the cube's
+   circumscribed sphere (over-approximates by ≤ (√3−1)·cube_extent)
+
+The same primitive set provides exact signed point distances, used by
+the trajectory validity re-check (the replacement for gettraj's sampled
+CheckCollision pass, orcdchomp_mod.cpp:2958-3006).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from or_cdchomp_tpu.ops.quat import pose_apply, pose_invert, quat_rotate
+
+
+class Scene(NamedTuple):
+    """Static analytic obstacle set (all arrays may be empty).
+
+    Poses give primitive frame in scene (kinbody) frame.
+    """
+
+    box_pose: jnp.ndarray      # (B, 7)
+    box_half: jnp.ndarray      # (B, 3)
+    sphere_center: jnp.ndarray # (S, 3)
+    sphere_radius: jnp.ndarray # (S,)
+    cyl_pose: jnp.ndarray      # (C, 7)  axis = local +z
+    cyl_radius: jnp.ndarray    # (C,)
+    cyl_half: jnp.ndarray      # (C,)  half-height
+
+    @classmethod
+    def empty(cls, dtype=jnp.float32):
+        z = lambda *s: jnp.zeros(s, dtype=dtype)
+        return cls(z(0, 7), z(0, 3), z(0, 3), z(0), z(0, 7), z(0), z(0))
+
+    @classmethod
+    def build(cls, boxes=(), spheres=(), cylinders=(), dtype=jnp.float32):
+        """boxes: [(pose7, half_extents)], spheres: [(center, radius)],
+        cylinders: [(pose7, radius, half_height)]."""
+        def arr(rows, width):
+            if not rows:
+                return jnp.zeros((0, width), dtype=dtype)
+            return jnp.asarray(np.asarray(rows, dtype=np.float64), dtype=dtype)
+
+        bp = arr([b[0] for b in boxes], 7)
+        bh = arr([b[1] for b in boxes], 3)
+        sc = arr([s[0] for s in spheres], 3)
+        sr = jnp.asarray(
+            np.asarray([s[1] for s in spheres], dtype=np.float64), dtype=dtype
+        ) if spheres else jnp.zeros((0,), dtype=dtype)
+        cp = arr([c[0] for c in cylinders], 7)
+        cr = jnp.asarray(
+            np.asarray([c[1] for c in cylinders], dtype=np.float64), dtype=dtype
+        ) if cylinders else jnp.zeros((0,), dtype=dtype)
+        ch = jnp.asarray(
+            np.asarray([c[2] for c in cylinders], dtype=np.float64), dtype=dtype
+        ) if cylinders else jnp.zeros((0,), dtype=dtype)
+        return cls(bp, bh, sc, sr, cp, cr, ch)
+
+
+# ---------------------------------------------------------------------------
+# point signed distances (exact)
+# ---------------------------------------------------------------------------
+
+def sd_box(p_local, half):
+    """Signed distance of local-frame point(s) to a centered box."""
+    q = jnp.abs(p_local) - half
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+def sd_cylinder(p_local, radius, half):
+    """Signed distance to a z-aligned centered cylinder."""
+    dr = jnp.linalg.norm(p_local[..., :2], axis=-1) - radius
+    dz = jnp.abs(p_local[..., 2]) - half
+    q = jnp.stack([dr, dz], axis=-1)
+    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    return outside + inside
+
+
+def scene_distance(scene: Scene, p):
+    """Min signed distance from point(s) (..., 3) to all primitives.
+
+    Returns +inf for an empty scene.
+    """
+    dists = []
+    if scene.box_pose.shape[0]:
+        pl = pose_apply(pose_invert(scene.box_pose), p[..., None, :])
+        dists.append(jnp.min(sd_box(pl, scene.box_half), axis=-1))
+    if scene.sphere_center.shape[0]:
+        d = jnp.linalg.norm(p[..., None, :] - scene.sphere_center, axis=-1)
+        dists.append(jnp.min(d - scene.sphere_radius, axis=-1))
+    if scene.cyl_pose.shape[0]:
+        pl = pose_apply(pose_invert(scene.cyl_pose), p[..., None, :])
+        dists.append(jnp.min(sd_cylinder(pl, scene.cyl_radius, scene.cyl_half), axis=-1))
+    if not dists:
+        return jnp.full(p.shape[:-1], jnp.inf, dtype=p.dtype)
+    return jnp.min(jnp.stack(dists, axis=0), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# cell-cube occupancy (probe-cube replacement)
+# ---------------------------------------------------------------------------
+
+def _obb_aabb_overlap(center, half_aabb, box_pose, box_half):
+    """Exact SAT between an axis-aligned cube (at ``center`` with half
+    extents ``half_aabb``) and oriented box(es).  Shapes broadcast:
+    center (..., 3) vs box_pose (B, 7) → (..., B) bool."""
+    from or_cdchomp_tpu.ops.quat import quat_to_R
+
+    R = quat_to_R(box_pose[..., 3:])         # (B, 3, 3) box→world
+    t = box_pose[..., :3] - center[..., None, :]  # (..., B, 3) box center rel cube
+    # SAT in the cube (world-aligned) frame; box axes are columns of R.
+    absR = jnp.abs(R) + 1e-7
+
+    a = half_aabb  # scalar or (3,)
+    b = box_half   # (B, 3)
+
+    # world axes: |t.e_i| <= a_i + sum_j b_j * |R_ij|
+    ra = a + jnp.einsum("...bij,...bj->...bi", absR, jnp.broadcast_to(b, t.shape))
+    sep_w = jnp.any(jnp.abs(t) > ra, axis=-1)
+
+    # box axes: |t . R_:,j| <= b_j + sum_i a_i |R_ij|
+    t_in_box = jnp.einsum("...bij,...bi->...bj", R, t)
+    rb = b + jnp.einsum("...bij,...i->...bj", absR, jnp.broadcast_to(
+        jnp.asarray(a), t[..., 0, :].shape))
+    sep_b = jnp.any(jnp.abs(t_in_box) > rb, axis=-1)
+
+    # cross axes e_i × R_:,j  (9 of them)
+    sep_c = jnp.zeros(sep_w.shape, dtype=bool)
+    a_vec = jnp.broadcast_to(jnp.asarray(a), (3,)) * jnp.ones_like(t)
+    for i in range(3):
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            # L = e_i × R_:,j ; project t, cube, box onto L
+            tl = t[..., i2] * R[..., i1, j] - t[..., i1] * R[..., i2, j]
+            ra_c = a_vec[..., i1] * absR[..., i2, j] + a_vec[..., i2] * absR[..., i1, j]
+            rb_c = b[..., j1] * absR[..., i, j2] + b[..., j2] * absR[..., i, j1]
+            sep_c = sep_c | (jnp.abs(tl) > ra_c + rb_c)
+
+    return ~(sep_w | sep_b | sep_c)
+
+
+def voxelize_scene(scene: Scene, centers, cube_extent):
+    """Occupancy of probe cubes at ``centers`` (..., 3) in scene frame.
+
+    Matches the reference's per-cell collision test
+    (orcdchomp_mod.cpp:495-525) with analytic primitives.
+    """
+    occ = jnp.zeros(centers.shape[:-1], dtype=bool)
+    if scene.box_pose.shape[0]:
+        hit = _obb_aabb_overlap(centers, cube_extent, scene.box_pose, scene.box_half)
+        occ = occ | jnp.any(hit, axis=-1)
+    if scene.sphere_center.shape[0]:
+        # exact sphere-vs-cube: closest point in cube to sphere center
+        d = scene.sphere_center - centers[..., None, :]
+        closest = jnp.clip(d, -cube_extent, cube_extent)
+        dist = jnp.linalg.norm(d - closest, axis=-1)
+        occ = occ | jnp.any(dist <= scene.sphere_radius, axis=-1)
+    if scene.cyl_pose.shape[0]:
+        # conservative: cube circumscribed sphere vs exact cylinder sd
+        pl = pose_apply(pose_invert(scene.cyl_pose), centers[..., None, :])
+        sd = sd_cylinder(pl, scene.cyl_radius, scene.cyl_half)
+        occ = occ | jnp.any(sd <= cube_extent * np.sqrt(3.0), axis=-1)
+    return occ

@@ -1,0 +1,157 @@
+"""Batched + sharded CHOMP solves.
+
+The reference iterates one heap-allocated problem at a time on one CPU
+thread (orcdchomp_mod.cpp:2752).  The TPU-native replacement treats a
+problem as a pytree row and solves thousands at once:
+
+ - ``stack_problems`` / ``make_problem_batch``: build a ChompProblem
+   whose every leaf has a leading problem axis.
+ - ``BatchSolver``: vmap(engine.step) under one jit, with the problem
+   axis sharded over a ``Mesh`` 'dp' axis via NamedSharding — XLA
+   inserts the ICI collectives; per-iteration cost telemetry is reduced
+   with jnp means (a psum over 'dp' once sharded).
+ - convergence-aware driver: run in chunks, stop when every problem's
+   total-cost improvement drops below tol (a psum-reduced all-batch
+   test — the "collective convergence reduction" of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from or_cdchomp_tpu.chomp.problem import ChompProblem
+from or_cdchomp_tpu.chomp.solver import ChompEngine
+
+
+def stack_problems(problems) -> ChompProblem:
+    """Stack a list of per-problem pytrees into one batched pytree."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
+
+
+def problem_batch_from_grid(problem: ChompProblem, starts, goals,
+                            engine: ChompEngine, metric_ops, seeds=None):
+    """Vectorized batch construction: broadcast a template problem to a
+    (P,) batch with per-problem straight-line trajectories, metric
+    affine terms, and RNG keys.
+
+    starts/goals: (P, n) arrays.  The template supplies everything else
+    (fields, limits, weights).
+    """
+    from or_cdchomp_tpu.chomp import metric as mm
+
+    starts = np.asarray(starts, dtype=np.float64)
+    goals = np.asarray(goals, dtype=np.float64)
+    P_, n = starts.shape
+    npts = engine.spec.n_points
+    a = np.linspace(0.0, 1.0, npts)[None, :, None]
+    trajs = (1 - a) * starts[:, None, :] + a * goals[:, None, :]
+
+    B = np.stack([mm.build_B_trC(metric_ops, trajs[i, 0], trajs[i, -1], n)[0]
+                  for i in range(P_)])
+    trC = np.array([mm.build_B_trC(metric_ops, trajs[i, 0], trajs[i, -1], n)[1]
+                    for i in range(P_)])
+    Ev = np.stack([mm.build_Evels(metric_ops, trajs[i, 0], trajs[i, -1], n)
+                   for i in range(P_)])
+
+    if seeds is None:
+        seeds = np.arange(P_)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+
+    dtype = engine.dtype
+
+    def bcast(x):
+        return jnp.broadcast_to(x, (P_,) + x.shape)
+
+    batched = jax.tree.map(bcast, problem)
+    batched = batched._replace(
+        traj=jnp.asarray(trajs, dtype=dtype),
+        B=jnp.asarray(B, dtype=dtype),
+        trC=jnp.asarray(trC, dtype=dtype),
+        Evels=jnp.asarray(Ev, dtype=dtype),
+        AG=jnp.zeros((P_, engine.spec.m, n), dtype=dtype),
+        hmc=problem.hmc._replace(
+            key=keys,
+            resample_iter=jnp.zeros(P_, jnp.int32),
+            leapfrog_first=jnp.ones(P_, bool)),
+        iteration=jnp.zeros(P_, jnp.int32),
+    )
+    return batched
+
+
+class BatchSolver:
+    """Sharded batched solve driver for one ChompEngine."""
+
+    def __init__(self, engine: ChompEngine, mesh: Optional[Mesh] = None,
+                 axis: str = "dp"):
+        self.engine = engine
+        if mesh is None:
+            devs = np.asarray(jax.devices())
+            mesh = Mesh(devs.reshape(-1), ("dp",))
+            axis = "dp"
+        self.mesh = mesh
+        self.axis = axis
+        self._sharding = NamedSharding(mesh, P(axis))
+        self._replicated = NamedSharding(mesh, P())
+
+    def shard(self, probs: ChompProblem) -> ChompProblem:
+        """Place the batch with the problem axis sharded over the mesh."""
+        return jax.device_put(probs, self._sharding)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def iterate(self, probs: ChompProblem, n_iter: int):
+        """(P,)-batched scan of n_iter steps.  Returns
+        (problems, costs (n_iter, P, 3))."""
+        def one(p):
+            return self.engine.iterate_nojit(p, n_iter)
+
+        probs, costs = jax.vmap(one)(probs)
+        return probs, jnp.moveaxis(costs, 1, 0)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def iterate_until(self, probs: ChompProblem, chunk: int, tol: float):
+        """One convergence-checked chunk: run ``chunk`` iterations and
+        report (problems, last_costs (P, 3), all_converged ()).
+
+        The convergence test is a full-batch reduction — under dp
+        sharding XLA lowers the global all() to an ICI psum.
+        """
+        probs, costs = self.iterate(probs, chunk)
+        drop = costs[0, :, 0] - costs[-1, :, 0]
+        converged = jnp.all(drop < tol)
+        return probs, costs[-1], converged
+
+    def solve(self, probs: ChompProblem, n_iter: int, chunk: int = 10,
+              tol: Optional[float] = None):
+        """Host driver: runs up to n_iter iterations in chunks; stops
+        early when converged (if tol given)."""
+        probs = self.shard(probs)
+        done = 0
+        last = None
+        while done < n_iter:
+            todo = min(chunk, n_iter - done)
+            if tol is None:
+                probs, costs = self.iterate(probs, todo)
+                last = costs[-1]
+            else:
+                probs, last, conv = self.iterate_until(probs, todo, tol)
+                if bool(conv):
+                    done += todo
+                    break
+            done += todo
+        finals = self.engine.final_costs_batch(probs)
+        return probs, jnp.stack(finals, axis=-1), done
+
+
+def best_of_batch(probs: ChompProblem, final_costs):
+    """Select the lowest-total-cost trajectory across the batch — the
+    best-of-HMC-restarts reduction (BASELINE.json config 3).  Under dp
+    sharding the argmin is a cross-device reduction."""
+    idx = jnp.argmin(final_costs[..., 0])
+    best = jax.tree.map(lambda x: x[idx], probs)
+    return best, idx

@@ -1,0 +1,508 @@
+"""Independent NumPy float64 oracle of the reference CHOMP math.
+
+A from-the-formulas mini-implementation of the algorithms in
+src/libcd/chomp.c, src/libcd/grid.c and the sphere cost callbacks of
+src/orcdchomp_mod.cpp, written in sequential scalar-loop style so that
+it shares no code with the vectorized JAX build.  Used purely as a test
+oracle for golden parity tests (the reference's own binaries need
+OpenRAVE and cannot run here; SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TAU = 2.0 * np.pi
+
+
+# ---------------------------------------------------------------------------
+# pose helpers (sequential style)
+# ---------------------------------------------------------------------------
+
+def q_mul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz])
+
+
+def q_rot(q, v):
+    # rotate via R matrix
+    return q_to_R(q) @ np.asarray(v, dtype=float)
+
+
+def q_to_R(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)]])
+
+
+def p_mul(pa, pb):
+    q = q_mul(pa[3:], pb[3:])
+    return np.concatenate([q_rot(pa[3:], pb[:3]) + pa[:3], q])
+
+
+def p_inv(p):
+    qi = np.array([-p[3], -p[4], -p[5], p[6]])
+    return np.concatenate([-q_rot(qi, p[:3]), qi])
+
+
+def p_apply(p, v):
+    return q_rot(p[3:], v) + p[:3]
+
+
+# ---------------------------------------------------------------------------
+# grid: lookup / interp / grad  (grid.c:191-454 semantics)
+# ---------------------------------------------------------------------------
+
+def grid_interp(data, lengths, p):
+    """Returns value or None when out of bounds."""
+    sizes = data.shape
+    subs = []
+    for ni in range(3):
+        x = p[ni] / lengths[ni]
+        if x < 0.0 or x > 1.0:
+            return None
+        s = int(np.floor(x * sizes[ni]))
+        if s == sizes[ni]:
+            s -= 1
+        subs.append(s)
+    value = data[tuple(subs)]
+    for ni in range(3):
+        s = subs[ni]
+        center = (0.5 + s) / sizes[ni] * lengths[ni]
+        if s == 0:
+            use_next = True
+        elif s == sizes[ni] - 1:
+            use_next = False
+        else:
+            use_next = not (p[ni] < center)
+        nb = list(subs)
+        nb[ni] = s + (1 if use_next else -1)
+        diff = (data[tuple(nb)] - value) if use_next else (value - data[tuple(nb)])
+        grad = diff * sizes[ni] / lengths[ni]
+        value += grad * (p[ni] - center)
+    return value
+
+
+def grid_grad(data, lengths, p):
+    sizes = data.shape
+    subs = []
+    for ni in range(3):
+        x = p[ni] / lengths[ni]
+        if x < 0.0 or x > 1.0:
+            return None
+        s = int(np.floor(x * sizes[ni]))
+        if s == sizes[ni]:
+            s -= 1
+        subs.append(s)
+    out = np.zeros(3)
+    for ni in range(3):
+        s = subs[ni]
+        center = (0.5 + s) / sizes[ni] * lengths[ni]
+        if s == 0:
+            use_next = True
+        elif s == sizes[ni] - 1:
+            use_next = False
+        else:
+            use_next = not (p[ni] < center)
+        nb = list(subs)
+        nb[ni] = s + (1 if use_next else -1)
+        v0 = data[tuple(subs)]
+        diff = (data[tuple(nb)] - v0) if use_next else (v0 - data[tuple(nb)])
+        out[ni] = diff * sizes[ni] / lengths[ni]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EDT: Felzenszwalb lower envelope (grid.c:269-329), per-axis driver
+# ---------------------------------------------------------------------------
+
+def sedt_1d(f):
+    n = len(f)
+    out = np.full(n, np.inf)
+    v = np.zeros(n, dtype=int)
+    z = np.zeros(n + 1)
+    np_ = 0
+    for q in range(n):
+        if f[q] == np.inf:
+            continue
+        if np_ == 0:
+            np_ = 1
+            v[0] = q
+            z[0] = -np.inf
+            z[1] = np.inf
+            continue
+        while True:
+            s = (f[q] + q * q - (f[v[np_ - 1]] + v[np_ - 1] ** 2)) / \
+                (2.0 * (q - v[np_ - 1]))
+            if s <= z[np_ - 1]:
+                np_ -= 1
+            else:
+                break
+        np_ += 1
+        v[np_ - 1] = q
+        z[np_ - 1] = s
+        z[np_] = np.inf
+    if np_ == 0:
+        return out
+    k = 0
+    for q in range(n):
+        while z[k + 1] < q:
+            k += 1
+        out[q] = (q - v[k]) ** 2 + f[v[k]]
+    return out
+
+
+def sedt_3d(func, lengths):
+    g = func.astype(float).copy()
+    for axis in range(3):
+        n = g.shape[axis]
+        res2 = (lengths[axis] / n) ** 2
+        moved = np.moveaxis(g, axis, -1)
+        flat = moved.reshape(-1, n)
+        for i in range(flat.shape[0]):
+            line = flat[i] / res2
+            flat[i] = sedt_1d(line) * res2
+        g = np.moveaxis(flat.reshape(moved.shape), -1, axis)
+    return g
+
+
+def signed_sdf(occupied, lengths):
+    f_obs = np.where(occupied, 0.0, np.inf)
+    f_free = np.where(occupied, np.inf, 0.0)
+    return np.sqrt(sedt_3d(f_obs, lengths)) - np.sqrt(sedt_3d(f_free, lengths))
+
+
+# ---------------------------------------------------------------------------
+# metric (chomp.c:239-428)
+# ---------------------------------------------------------------------------
+
+def build_KEs(m, n, dt, D, inits, finals):
+    """inits/finals: lists of per-order vectors or None."""
+    num_derivs = [m]
+    Ks, Es = [], []
+    for d in range(D):
+        nd = num_derivs[-1] - 1 + (inits[d] is not None) + \
+            (finals[d] is not None)
+        diff = np.zeros((nd, num_derivs[-1]))
+        E = np.zeros((nd, n))
+        row = 0
+        if inits[d] is not None:
+            diff[0, 0] = 1.0 / dt
+            E[0] += -np.asarray(inits[d]) / dt
+            row = 1
+        for i in range(num_derivs[-1] - 1):
+            diff[row + i, i] = -1.0 / dt
+            diff[row + i, i + 1] = 1.0 / dt
+        if finals[d] is not None:
+            diff[nd - 1, num_derivs[-1] - 1] = -1.0 / dt
+            E[nd - 1] += np.asarray(finals[d]) / dt
+        K = diff.copy() if d == 0 else diff @ Ks[d - 1]
+        if d > 0:
+            E = E + diff @ Es[d - 1]
+        Ks.append(K)
+        Es.append(E)
+        num_derivs.append(nd)
+    wds = [0.0] * (D - 1) + [1.0]
+    A = np.zeros((m, m))
+    B = np.zeros((m, n))
+    trC = 0.0
+    for d in range(D):
+        s = wds[d] / num_derivs[d + 1]
+        A += s * Ks[d].T @ Ks[d]
+        B += s * Ks[d].T @ Es[d]
+        trC += 0.5 * s * np.trace(Es[d].T @ Es[d])
+    return A, B, trC, Ks, Es
+
+
+def build_Kvels(m, n, dt, init0, final0):
+    K = np.zeros((m, m))
+    E = np.zeros((m, n))
+    for i in range(m):
+        if i == 0:
+            if init0 is not None:
+                K[0, 1] = 0.5 / dt
+                E[0] = -0.5 / dt * np.asarray(init0)
+            else:
+                K[0, 1] = 1.0 / dt
+                K[0, 0] = -1.0 / dt
+        elif i < m - 1:
+            K[i, i + 1] = 0.5 / dt
+            K[i, i - 1] = -0.5 / dt
+        else:
+            if final0 is not None:
+                E[i] = 0.5 / dt * np.asarray(final0)
+                K[i, i - 1] = -0.5 / dt
+            else:
+                K[i, i] = 1.0 / dt
+                K[i, i - 1] = -1.0 / dt
+    return K, E
+
+
+# ---------------------------------------------------------------------------
+# robot FK (independent sequential implementation over RobotModel arrays)
+# ---------------------------------------------------------------------------
+
+def fk_link_poses(model, q, base_pose=None):
+    """Sequential FK.  model: RobotModel (numpy fields); q: (n_dof,)."""
+    L = len(model.link_names)
+    poses = np.zeros((L, 7))
+    poses[0] = base_pose if base_pose is not None else \
+        np.array([0, 0, 0, 0, 0, 0, 1.0])
+    anchors = np.zeros((model.n_dof, 7))
+    for i in range(1, L):
+        anchor = p_mul(poses[model.parent[i]], model.origin[i])
+        d = int(model.dof_index[i])
+        jt = int(model.jtype[i])
+        if jt == 0 or (d < 0 and jt != 0):
+            val = float(model.q_frozen[i])
+        else:
+            val = float(q[d])
+        if jt == 1:  # revolute
+            a2 = 0.5 * val
+            mq = np.concatenate([np.sin(a2) * model.axis[i], [np.cos(a2)]])
+            motion = np.concatenate([np.zeros(3), mq])
+        elif jt == 2:
+            motion = np.concatenate([model.axis[i] * val, [0, 0, 0, 1.0]])
+        else:
+            motion = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        if d >= 0:
+            anchors[d] = anchor
+        poses[i] = p_mul(anchor, motion)
+    return poses, anchors
+
+
+def sphere_positions(model, poses, order=None):
+    order = np.arange(len(model.sphere_link)) if order is None else order
+    out = np.zeros((len(order), 3))
+    for k, si in enumerate(order):
+        out[k] = p_apply(poses[model.sphere_link[si]], model.sphere_pos[si])
+    return out
+
+
+def sphere_jacobian(model, anchors, x, link_index):
+    """3×n_dof position Jacobian of point x on link link_index."""
+    J = np.zeros((3, model.n_dof))
+    # which dofs affect the link: walk ancestors
+    mask = np.zeros(model.n_dof, dtype=bool)
+    j = link_index
+    while j > 0:
+        d = int(model.dof_index[j])
+        if d >= 0:
+            mask[d] = True
+        j = int(model.parent[j])
+    for d in range(model.n_dof):
+        if not mask[d]:
+            continue
+        # link of this dof
+        li = [i for i in range(len(model.link_names))
+              if model.dof_index[i] == d][0]
+        axis_w = q_rot(anchors[d][3:], model.axis[li])
+        if model.jtype[li] == 1:
+            J[:, d] = np.cross(axis_w, x - anchors[d][:3])
+        else:
+            J[:, d] = axis_w
+    return J
+
+
+# ---------------------------------------------------------------------------
+# the full iteration (chomp.c:430-683 + sphere cost callbacks)
+# ---------------------------------------------------------------------------
+
+class OracleChomp:
+    """Sequential implementation of one full CHOMP problem."""
+
+    def __init__(self, model, robot_pose, traj, lambda_, epsilon,
+                 epsilon_self, obs_factor, obs_factor_self,
+                 sdfs, jlimit_lower, jlimit_upper, D=1):
+        """sdfs: list of (data, lengths, pose_world_gsdf)."""
+        self.model = model
+        self.robot_pose = np.asarray(robot_pose, dtype=float)
+        self.traj = np.asarray(traj, dtype=float).copy()
+        self.n_points, self.n = self.traj.shape
+        self.m = self.n_points - 2
+        self.dt = 1.0 / (self.n_points - 1)
+        self.lambda_ = lambda_
+        self.epsilon = epsilon
+        self.epsilon_self = epsilon_self
+        self.obs_factor = obs_factor
+        self.obs_factor_self = obs_factor_self
+        self.sdfs = [(np.asarray(d, dtype=float), np.asarray(l, dtype=float),
+                      np.asarray(p, dtype=float)) for d, l, p in sdfs]
+        self.lo = np.asarray(jlimit_lower, dtype=float)
+        self.hi = np.asarray(jlimit_upper, dtype=float)
+
+        act = model.sphere_active_mask()
+        self.order = np.concatenate([np.where(act)[0], np.where(~act)[0]])
+        self.n_act = int(act.sum())
+        self.radii = model.sphere_radius[self.order]
+        self.links = model.sphere_link[self.order]
+
+        A, B, trC, _, _ = build_KEs(
+            self.m, self.n, self.dt, D,
+            [self.traj[0]] + [np.zeros(self.n)] * (D - 1),
+            [self.traj[-1]] + [np.zeros(self.n)] * (D - 1))
+        self.A = A
+        self.B = B
+        self.trC = trC
+        self.Ainv = np.linalg.inv(A)
+
+        # fixed inactive sphere positions at the *current* robot config
+        poses, _ = fk_link_poses(model, np.zeros(model.n_dof),
+                                 self.robot_pose)
+        # note: oracle callers must set q_frozen/model state as needed;
+        # inactive positions use the trajectory start configuration
+        poses, _ = fk_link_poses(model, self.traj[0], self.robot_pose)
+        self.inactive_pos = sphere_positions(
+            model, poses, self.order[self.n_act:])
+
+    # -- cost_pre (orcdchomp_mod.cpp:968-1132) --
+
+    def _kinematics(self):
+        np_, S = self.n_points, self.n_act
+        x_all = np.zeros((np_, S, 3))
+        jacs = np.zeros((self.m, S, 3, self.n))
+        for ti in range(np_):
+            poses, anchors = fk_link_poses(
+                self.model, self.traj[ti], self.robot_pose)
+            x_all[ti] = sphere_positions(self.model, poses,
+                                         self.order[:S])
+            ti_mov = ti - 1
+            if 0 <= ti_mov < self.m:
+                for s in range(S):
+                    jacs[ti_mov, s] = sphere_jacobian(
+                        self.model, anchors, x_all[ti, s],
+                        int(self.links[s]))
+        vel = (x_all[2:] - x_all[:-2]) / (2 * self.dt)
+        acc = (x_all[:-2] - 2 * x_all[1:-1] + x_all[2:]) / self.dt ** 2
+        return x_all, vel, acc, jacs
+
+    # -- sphere_cost (orcdchomp_mod.cpp:1134-1327) --
+
+    def _point_cost(self, ti, x_all, vel, acc, jacs, want_grad):
+        S = self.n_act
+        cost = 0.0
+        grad = np.zeros(self.n)
+        x_mov = x_all[ti + 1]
+        for s in range(S):
+            cost_sphere = 0.0
+            v = vel[ti, s]
+            vn = np.linalg.norm(v)
+            # best field
+            best, best_dist = -1, np.inf
+            for fi, (data, lengths, pw) in enumerate(self.sdfs):
+                gp = p_apply(p_inv(pw), x_mov[s])
+                val = grid_interp(data, lengths, gp)
+                if val is None:
+                    continue
+                if val < best_dist:
+                    best_dist, best = val, fi
+            if best >= 0:
+                data, lengths, pw = self.sdfs[best]
+                gp = p_apply(p_inv(pw), x_mov[s])
+                dist = grid_interp(data, lengths, gp) - self.radii[s]
+                if dist < 0:
+                    cost_sphere += vn * self.obs_factor * \
+                        (0.5 * self.epsilon - dist)
+                elif dist < self.epsilon:
+                    cost_sphere += vn * self.obs_factor * \
+                        (0.5 / self.epsilon) * (dist - self.epsilon) ** 2
+                if want_grad:
+                    g = grid_grad(data, lengths, gp)
+                    g = q_rot(pw[3:], g)
+                    xg = g.copy()
+                    if dist < 0:
+                        xg *= -1.0
+                    elif dist < self.epsilon:
+                        xg *= dist / self.epsilon - 1.0
+                    else:
+                        xg[:] = 0.0
+                    xg *= vn * self.obs_factor
+                    if vn > 1e-6:
+                        xg -= (xg @ v) / vn ** 2 * v
+                    curv = acc[ti, s].copy()
+                    if vn > 1e-6:
+                        curv -= (curv @ v) / vn ** 2 * v
+                        curv /= vn ** 2
+                        xg -= cost_sphere * curv
+                    grad += vn * jacs[ti, s].T @ xg
+            # self collision
+            for s2 in range(len(self.order)):
+                if self.links[s2] == self.links[s]:
+                    continue
+                if s2 < S:
+                    other = x_mov[s2]
+                else:
+                    other = self.inactive_pos[s2 - S]
+                vfo = x_mov[s] - other
+                d2 = np.linalg.norm(vfo)
+                if d2 > self.radii[s] + self.radii[s2] + self.epsilon_self:
+                    continue
+                u = vfo / d2
+                dd = d2 - (self.radii[s] + self.radii[s2])
+                if dd < 0:
+                    cost_sphere += vn * self.obs_factor_self * \
+                        (0.5 * self.epsilon_self - dd)
+                else:
+                    cost_sphere += vn * self.obs_factor_self * \
+                        (0.5 / self.epsilon_self) * \
+                        (dd - self.epsilon_self) ** 2
+                if want_grad:
+                    xg = u.copy()
+                    if dd < 0:
+                        xg *= -1.0
+                    elif dd < self.epsilon_self:
+                        xg *= dd / self.epsilon_self - 1.0
+                    xg *= vn * self.obs_factor_self
+                    if vn > 1e-6:
+                        xg -= (xg @ v) / vn ** 2 * v
+                    J2 = jacs[ti, s].copy()
+                    if s2 < S:
+                        J2 -= jacs[ti, s2]
+                    grad += J2.T @ xg
+            cost += cost_sphere
+        return cost, grad
+
+    def iterate(self, do_iteration=True):
+        """One cd_chomp_iterate; returns (total, obs, smooth)."""
+        m, n = self.m, self.n
+        T = self.traj[1:-1]  # view
+        x_all, vel, acc, jacs = self._kinematics()
+        cost_obs = 0.0
+        G = np.zeros((m, n))
+        for ti in range(m):
+            c, g = self._point_cost(ti, x_all, vel, acc, jacs, do_iteration)
+            cost_obs += c
+            G[ti] = g
+        cost_obs /= m
+        G /= m
+        if do_iteration:
+            G += self.A @ T + self.B
+            AG = self.Ainv @ G
+            T -= AG / self.lambda_
+            # joint limits
+            for _ in range(1000):
+                Gj = np.zeros((m, n))
+                largest, li = 0.0, 0
+                for i in range(m):
+                    for j in range(n):
+                        if T[i, j] < self.lo[j]:
+                            Gj[i, j] = self.lo[j] - T[i, j]
+                        if T[i, j] > self.hi[j]:
+                            Gj[i, j] = self.hi[j] - T[i, j]
+                        if abs(Gj[i, j]) > largest:
+                            largest = abs(Gj[i, j])
+                            li = i * n + j
+                if largest == 0.0:
+                    break
+                GjA = self.Ainv @ Gj
+                T += 1.01 * Gj.flat[li] / GjA.flat[li] * GjA
+        cost_smooth = np.trace(0.5 * T.T @ self.A @ T + self.B.T @ T) \
+            + self.trC
+        return cost_obs + cost_smooth, cost_obs, cost_smooth
