@@ -189,11 +189,9 @@ import functools
 
 
 @functools.partial(jax.jit, static_argnames=("sizes", "cube_extent"))
-def _sdf_build_jit(scenes, inv_poses, pose_world_gsdf, lengths, *,
+def _occupancy_jit(scenes, inv_poses, pose_world_gsdf, lengths, *,
                    sizes, cube_extent):
-    """Whole SDF pipeline — voxelize → flood-fill → signed EDT — as one
-    compiled graph (one compilation per grid/scene shape instead of
-    thousands of eager op dispatches)."""
+    """Voxelize + flood-fill as one compiled graph."""
     from or_cdchomp_tpu.ops.quat import pose_apply
 
     grid = Grid3D.create(sizes, lengths)
@@ -202,8 +200,23 @@ def _sdf_build_jit(scenes, inv_poses, pose_world_gsdf, lengths, *,
     for sc, inv in zip(scenes, inv_poses):
         centers_local = pose_apply(inv, centers_w)
         occ = occ | voxelize_scene(sc, centers_local, cube_extent)
-    occ = exterior_free_mask(occ)   # enclosed pockets → obstacle
+    return exterior_free_mask(occ)  # enclosed pockets → obstacle
+
+
+@functools.partial(jax.jit, static_argnames=("sizes", "cube_extent"))
+def _sdf_build_jit(scenes, inv_poses, pose_world_gsdf, lengths, *,
+                   sizes, cube_extent):
+    """Whole SDF pipeline — voxelize → flood-fill → signed EDT — as one
+    compiled graph (one compilation per grid/scene shape instead of
+    thousands of eager op dispatches)."""
+    occ = _occupancy_jit(scenes, inv_poses, pose_world_gsdf, lengths,
+                         sizes=sizes, cube_extent=cube_extent)
     return signed_edt(occ, lengths)
+
+
+# above this cell count the O(n²)-per-line device EDT loses to the
+# exact O(n)-per-line native host EDT (or_cdchomp_tpu/native)
+_NATIVE_EDT_CELLS = 192 ** 3
 
 
 @jax.jit
@@ -321,13 +334,14 @@ class CHOMPModule:
 
         grid = None
         if cache_filename:
-            try:
-                data = np.load(cache_filename)
-                if tuple(data.shape) == tuple(sizes):
-                    grid = Grid3D(data=jnp.asarray(data, dtype=jnp.float32),
-                                  lengths=jnp.asarray(lengths, jnp.float32))
-            except (FileNotFoundError, ValueError):
-                pass
+            # raw-bytes cache with size validation, the reference's
+            # cache format (orcdchomp_mod.cpp:416-444)
+            from or_cdchomp_tpu.native import grid_cache_read
+            data = grid_cache_read(cache_filename, tuple(int(s) for s in sizes),
+                                   dtype=np.float32)
+            if data is not None:
+                grid = Grid3D(data=jnp.asarray(data, dtype=jnp.float32),
+                              lengths=jnp.asarray(lengths, jnp.float32))
         if grid is None:
             if require_cache:
                 raise RuntimeError(
@@ -335,7 +349,9 @@ class CHOMPModule:
             grid = self._build_sdf_grid(name, body, grid_pose, sizes, lengths,
                                         cube_extent)
             if cache_filename:
-                np.save(cache_filename, np.asarray(grid.data))
+                from or_cdchomp_tpu.native import grid_cache_write
+                grid_cache_write(cache_filename,
+                                 np.asarray(grid.data, dtype=np.float32))
 
         self.sdfs.append(SdfEntry(kinbody_name=name, grid=grid,
                                   pose=grid_pose))
@@ -348,12 +364,18 @@ class CHOMPModule:
         scenes, poses = self._world_occupancy_scene(name)
         inv_poses = tuple(jnp.asarray(np_pose.invert(p), jnp.float32)
                           for p in poses)
-        data = _sdf_build_jit(
-            tuple(scenes), inv_poses,
-            jnp.asarray(pose_world_gsdf, jnp.float32),
-            jnp.asarray(lengths, jnp.float32),
-            sizes=tuple(int(s) for s in sizes),
-            cube_extent=float(cube_extent))
+        args = (tuple(scenes), inv_poses,
+                jnp.asarray(pose_world_gsdf, jnp.float32),
+                jnp.asarray(lengths, jnp.float32))
+        kw = dict(sizes=tuple(int(s) for s in sizes),
+                  cube_extent=float(cube_extent))
+        if int(np.prod(sizes)) > _NATIVE_EDT_CELLS:
+            # device voxelization + exact native host EDT for huge grids
+            from or_cdchomp_tpu.native import signed_edt_native
+            occ = np.asarray(_occupancy_jit(*args, **kw))
+            data = jnp.asarray(signed_edt_native(occ, lengths), jnp.float32)
+        else:
+            data = _sdf_build_jit(*args, **kw)
         return Grid3D(data=data, lengths=jnp.asarray(lengths, jnp.float32))
 
     def addfield_fromobsarray(self, kinbody=None, obsarray=None, sizes=None,
@@ -736,6 +758,14 @@ class CHOMPModule:
                 print("Self collision")
             collides = True
         return collides
+
+    # ----- string transport (orcwrap parity) ------------------------------
+
+    def SendCommand(self, cmd: str, releasegil: bool = False) -> str:
+        """Dispatch a shell-quoted command string (the reference's
+        SendCommand wire format, orcwrap.cpp:37-69)."""
+        from or_cdchomp_tpu.transport import send_command
+        return send_command(self, cmd)
 
     # ----- destroy / runchomp --------------------------------------------
 

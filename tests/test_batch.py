@@ -1,0 +1,87 @@
+"""Batched + sharded solve tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import or_cdchomp_tpu as oc
+from or_cdchomp_tpu.api import KinBody, Robot
+from or_cdchomp_tpu.chomp import metric as mm
+from or_cdchomp_tpu.parallel.batch import (
+    BatchSolver, best_of_batch, problem_batch_from_grid, stack_problems)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mod = oc.CHOMPModule()
+    mod.add_kinbody(KinBody("table", oc.Scene.build(
+        boxes=[((0.5, 0.0, 0.6, 0, 0, 0, 1), (0.25, 0.35, 0.03))])))
+    r = Robot("wam", oc.wam7(),
+              q_active=np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]))
+    mod.add_robot(r)
+    r.enabled = False
+    mod.computedistancefield(kinbody="table", cube_extent=0.15)
+    r.enabled = True
+    goal = np.array([0.6, 0.7, 0.1, 1.4, 0.0, -0.3, 0.0])
+    h = mod.create(robot="wam", adofgoal=goal, lambda_=100.0,
+                   obs_factor=500.0, n_points=8)
+    return mod, mod.runs[h], goal
+
+
+def _batch(run, goal, n):
+    engine = run.engine
+    ops = mm.build_metric(engine.spec.m, engine.spec.dt, D=engine.spec.D)
+    rng = np.random.default_rng(0)
+    starts = (np.tile(np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]), (n, 1))
+              + 0.01 * rng.normal(size=(n, 7)))
+    goals = np.tile(goal, (n, 1)) + 0.01 * rng.normal(size=(n, 7))
+    return problem_batch_from_grid(run.problem, starts, goals, engine, ops), \
+        starts, goals
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_batch_matches_single(setup):
+    """Row i of the batched solve equals an independent single solve."""
+    mod, run, goal = setup
+    probs, starts, goals = _batch(run, goal, 4)
+    solver = BatchSolver(run.engine)
+    out, costs = solver.iterate(solver.shard(probs), 3)
+
+    # independent single solve of row 2
+    single = jax.tree.map(lambda x: x[2], probs)
+    s_out, s_costs = run.engine.iterate(single, 3)
+    np.testing.assert_allclose(np.asarray(out.traj[2]),
+                               np.asarray(s_out.traj), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(costs[:, 2]),
+                               np.asarray(s_costs), rtol=1e-5)
+
+
+def test_endpoints_pinned(setup):
+    mod, run, goal = setup
+    probs, starts, goals = _batch(run, goal, 4)
+    solver = BatchSolver(run.engine)
+    out, _ = solver.iterate(solver.shard(probs), 3)
+    np.testing.assert_allclose(np.asarray(out.traj[:, 0]), starts, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.traj[:, -1]), goals, atol=1e-6)
+
+
+def test_solve_driver_and_best(setup):
+    mod, run, goal = setup
+    probs, _, _ = _batch(run, goal, 4)
+    solver = BatchSolver(run.engine)
+    out, finals, done = solver.solve(probs, n_iter=4, chunk=2)
+    assert done == 4
+    assert finals.shape == (4, 3)
+    best, idx = best_of_batch(out, finals)
+    assert best.traj.shape == out.traj.shape[1:]
+    assert finals[idx, 0] == jnp.min(finals[:, 0])
+
+
+def test_stack_problems(setup):
+    mod, run, goal = setup
+    probs = stack_problems([run.problem, run.problem])
+    assert probs.traj.shape == (2,) + run.problem.traj.shape
