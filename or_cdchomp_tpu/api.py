@@ -55,6 +55,7 @@ class KinBody:
     pose: np.ndarray = dataclasses.field(
         default_factory=lambda: np_pose.POSE_ID.copy())
     enabled: bool = True
+    grabbed_by: Optional[str] = None   # robot currently grabbing this body
 
     def aabb_at_origin(self, padding=0.0):
         """Conservative AABB of the scene primitives with the body at
@@ -100,6 +101,7 @@ class Robot:
         default_factory=lambda: np_pose.POSE_ID.copy())
     q_active: np.ndarray = None
     enabled: bool = True
+    grabbed: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         if self.q_active is None:
@@ -113,6 +115,49 @@ class Robot:
         if not hasattr(self, "_fk_cache"):
             self._fk_cache = CompiledFK(self.model)
         return self._fk_cache
+
+    def _invalidate_fk(self):
+        if hasattr(self, "_fk_cache"):
+            del self._fk_cache
+
+    def grab(self, body: "KinBody", link: str):
+        """Attach ``body`` to ``link``: its collision spheres re-root to
+        the grabbing link and move with the robot from now on
+        (GetGrabbed/IsGrabbing handling, orcdchomp_mod.cpp:2200-2208).
+
+        The body's Scene sphere primitives become robot spheres in the
+        link frame (boxes/cylinders are approximated by their bounding
+        spheres — the reference requires sphere models on grabbed
+        bodies the same way, orcdchomp_kdata parity).
+        """
+        if body.name in self.grabbed:
+            raise RuntimeError(f"{body.name} is already grabbed")
+        link_idx = self.model.link_names.index(link)
+        fk = self._fk()
+        lp, _ = fk.link_poses(
+            jnp.asarray(self.q_active, dtype=fk.dtype),
+            base_pose=jnp.asarray(self.pose, dtype=fk.dtype))
+        link_world = np.asarray(lp)[link_idx].astype(np.float64)
+        into_link = np_pose.compose(np_pose.invert(link_world), body.pose)
+
+        centers, radii = body.scene.bounding_spheres()
+        local = np.stack([np_pose.apply(into_link, c) for c in centers]) \
+            if len(radii) else np.zeros((0, 3))
+        n_before = len(self.model.sphere_radius)
+        self.model = self.model.with_spheres(
+            [(link, local[i], float(radii[i])) for i in range(len(radii))])
+        self.grabbed[body.name] = (link, n_before, len(radii))
+        body.grabbed_by = self.name
+        self._invalidate_fk()
+
+    def release(self, body: "KinBody"):
+        """Detach a grabbed body (removes its spheres)."""
+        link, start, count = self.grabbed.pop(body.name)
+        keep = np.ones(len(self.model.sphere_radius), dtype=bool)
+        keep[start:start + count] = False
+        self.model = self.model.select_spheres(np.where(keep)[0])
+        body.grabbed_by = None
+        self._invalidate_fk()
 
     def sphere_world(self, fk: Optional[CompiledFK] = None):
         """World (pos, radius) of all spheres at the current config."""
@@ -297,7 +342,7 @@ class CHOMPModule:
         the probe cube is the moving body)."""
         scenes, poses = [], []
         for b in self.bodies.values():
-            if b.name == exclude_name or not b.enabled:
+            if b.name == exclude_name or not b.enabled or b.grabbed_by:
                 continue
             scenes.append(b.scene)
             poses.append(b.pose)
@@ -439,7 +484,8 @@ class CHOMPModule:
                use_hmc=False, hmc_resample_lambda=None, seed=0,
                epsilon=None, epsilon_self=None, obs_factor=None,
                obs_factor_self=None, no_report_cost=False,
-               dat_filename=None, derivative=None, **_):
+               dat_filename=None, derivative=None, ee_force=None,
+               ee_torque_weights=None, **_):
         """Set up a run; returns an opaque run handle string.
 
         Same validation rules as mod::create
@@ -483,6 +529,24 @@ class CHOMPModule:
         if adofgoal is not None and len(adofgoal) != n_adof:
             raise ValueError("size of adofgoal does not match active dofs!")
 
+        # ee_force / ee_torque_weights: parsed and validated exactly as
+        # the reference does (orcdchomp_mod.cpp:2036-2078, 2116-2121),
+        # but the corresponding cost was never implemented there either
+        # (dead feature, comment at orcdchomp_mod.cpp:1323) — kept for
+        # argument-surface parity only.
+        if ee_force is not None:
+            ee_force = np.atleast_1d(np.asarray(ee_force, dtype=np.float64))
+            if ee_force.shape == (1,):
+                ee_force = np.array([0.0, 0.0, -float(ee_force[0])])
+            elif ee_force.shape != (3,):
+                raise ValueError("ee_force must be length 1 or 3!")
+        if ee_torque_weights is not None:
+            ee_torque_weights = np.asarray(ee_torque_weights,
+                                           dtype=np.float64)
+            if ee_torque_weights.shape != (n_adof,):
+                raise ValueError(
+                    "size of ee_torque_weights does not match active dofs!")
+
         m = n_points - 2 + (1 if start_tsr is not None else 0)
         spec = ChompSpec(
             n_points=n_points, n=n, m=m, D=D, floating_base=floating_base,
@@ -515,12 +579,14 @@ class CHOMPModule:
                     traj[i, :7] = np_pose.normalize(traj[i, :7])
 
         # --- metric (chomp.c:239-428) ---
-        ops = metric_mod.build_metric(
+        # semiseparable fast path for long default-metric trajectories
+        # (metric.py: no m×m matrices, O(m·n) solve)
+        use_sep = (metric_mod.sep_eligible(D, start_tsr is None)
+                   and m >= metric_mod.SEP_MIN_M)
+        ops = None if use_sep else metric_mod.build_metric(
             m, spec.dt, D=D, has_init0=start_tsr is None, has_final0=True)
         init0 = None if start_tsr is not None else traj[0]
         final0 = traj[-1]
-        B, trC = metric_mod.build_B_trC(ops, init0, final0, n)
-        Evels = metric_mod.build_Evels(ops, init0, final0, n)
 
         # --- joint limits (orcdchomp_mod.cpp:2638-2660) ---
         lo = np.asarray(r.model.dof_limits_lower, dtype=np.float64)
@@ -578,9 +644,12 @@ class CHOMPModule:
         if engine is None:
             fields = self._field_stack()
             engine = ChompEngine(
-                spec, r.model, fields, ops.A, ops.Ainv, cons=cons,
-                extra_cost=start_cost, dtype=self.dtype)
+                spec, r.model, fields, cons=cons,
+                extra_cost=start_cost, dtype=self.dtype, metric_ops=ops,
+                metric_mode="sep" if use_sep else "dense")
             self._engine_cache[key] = engine
+
+        B, trC, Evels = engine.build_affine(init0, final0, n)
 
         # inactive sphere world positions (orcdchomp_mod.cpp:2334-2345)
         order = engine._sphere_order
@@ -740,7 +809,7 @@ class CHOMPModule:
 
         scenes, invs, names = [], [], []
         for b in self.bodies.values():
-            if not b.enabled:
+            if not b.enabled or b.grabbed_by:
                 continue
             scenes.append(b.scene)
             invs.append(jnp.asarray(np_pose.invert(b.pose), dtype=fk.dtype))

@@ -135,10 +135,12 @@ def eval_tsr_all(spec: ChompSpec, fk, prob: ChompProblem, T_full,
     return val, jac
 
 
-def project_constraints(spec: ChompSpec, cons: TSRConstraintSet, Ainv,
+def project_constraints(spec: ChompSpec, cons: TSRConstraintSet, engine,
                         lambda_, AG, T_mov, val, jac):
     """Goal-set CHOMP constraint projection (chomp.c:553-600).
 
+    ``engine`` supplies the metric-inverse entries (dense Ainv indexing
+    or the analytic semiseparable form — see ChompEngine.ainv_block).
     Returns the T correction (m, n) to *add* to the trajectory.
     """
     if cons.k_total == 0:
@@ -156,10 +158,10 @@ def project_constraints(spec: ChompSpec, cons: TSRConstraintSet, Ainv,
 
     # JAJT[a,b] = Ainv[pt_a, pt_b] · (J_a · J_b)  (chomp.c:568-575)
     JJt = J @ J.T
-    JAJT = JJt * Ainv[row_pt[:, None], row_pt[None, :]]
+    JAJT = JJt * engine.ainv_block(row_pt)
 
     x = jnp.linalg.solve(JAJT, h)                 # (chomp.c:579-581 dgesv)
 
     # T −= Σ_k Ainv[:, pt_k] ⊗ (J_k x_k)  (chomp.c:593-599)
-    correction = -jnp.einsum("mk,k,kn->mn", Ainv[:, row_pt], x, J)
+    correction = -jnp.einsum("mk,k,kn->mn", engine.ainv_cols(row_pt), x, J)
     return correction

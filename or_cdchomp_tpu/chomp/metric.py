@@ -145,6 +145,89 @@ def build_metric(
     )
 
 
+# ---------------------------------------------------------------------------
+# Semiseparable fast path (D=1, both endpoints fixed — the default).
+#
+# The reference pays O(m³) for a dense LU inverse of A (chomp.c:392-403)
+# and O(m²·n) per iteration for Ainv·G (chomp.c:529-530).  For the
+# default metric, A = T/(dt²·M) with T = tridiag(-1, 2, -1) and
+# M = m+1, whose inverse is known in closed form:
+#
+#     Ainv[p, q] = dt² · (p+1) · (m−q)   for p ≤ q (0-indexed), symmetric
+#
+# — a rank-structured (semiseparable) matrix, so Ainv·G reduces to two
+# cumulative sums: O(m·n) work, log-depth on the TPU VPU, and no m×m
+# matrix ever materializes in HBM.  This is the "banded metric solve"
+# of SURVEY.md §5, enabling very long trajectories (m ≫ 10³).
+# ---------------------------------------------------------------------------
+
+SEP_MIN_M = 256   # auto-switch threshold: below this the dense MXU gemm wins
+
+
+def sep_eligible(D: int, has_init0: bool, has_final0: bool = True) -> bool:
+    """The closed form holds for the default first-order metric with
+    both endpoints present (w = [1], chomp.c:127-128)."""
+    return D == 1 and has_init0 and has_final0
+
+
+def sep_solve(G, dt):
+    """A⁻¹ · G for the default metric via two cumsums.  G: (..., m, n)."""
+    import jax.numpy as jnp
+
+    m = G.shape[-2]
+    dtype = G.dtype
+    j = jnp.arange(m, dtype=dtype)
+    up = (j + 1.0)[:, None]          # (m, 1)
+    down = (m - j)[:, None]
+    c1 = jnp.cumsum(up * G, axis=-2)             # Σ_{j≤p} (j+1)·G_j
+    cb = jnp.cumsum(down * G, axis=-2)
+    s_after = cb[..., -1:, :] - cb                # Σ_{j>p} (m−j)·G_j
+    return (dt * dt) * (down * c1 + up * s_after)
+
+
+def sep_apply_A(X, dt):
+    """A · X for the default metric: the tridiag(-1,2,-1)/(dt²·M) stencil
+    with zero virtual endpoints.  X: (..., m, n)."""
+    import jax.numpy as jnp
+
+    m = X.shape[-2]
+    zero = jnp.zeros_like(X[..., :1, :])
+    up = jnp.concatenate([X[..., 1:, :], zero], axis=-2)
+    dn = jnp.concatenate([zero, X[..., :-1, :]], axis=-2)
+    return (2.0 * X - up - dn) / (dt * dt * (m + 1))
+
+
+def sep_ainv_entries(p, q, m, dt):
+    """Analytic Ainv[p, q] (0-indexed, any broadcastable int arrays)."""
+    import jax.numpy as jnp
+
+    lo = jnp.minimum(p, q)
+    hi = jnp.maximum(p, q)
+    return (dt * dt) * (lo + 1.0) * (m - hi)
+
+
+def sep_B_trC(m, dt, init0, final0, n):
+    """Closed-form B and trC for the default metric.
+
+    B has only its endpoint rows nonzero: B[0] = −init/(dt²·M),
+    B[m−1] += −final/(dt²·M) (chomp.c:319-323 specialized to D=1)."""
+    s = 1.0 / (dt * dt * (m + 1))
+    B = np.zeros((m, n))
+    B[0] += -s * np.asarray(init0, dtype=float)
+    B[m - 1] += -s * np.asarray(final0, dtype=float)
+    trC = 0.5 * s * (np.sum(np.square(init0)) + np.sum(np.square(final0)))
+    return B, float(trC)
+
+
+def sep_Evels(m, dt, init0, final0, n):
+    """Velocity-operator affine part (same closed form as build_Evels
+    with both endpoints present)."""
+    E = np.zeros((m, n))
+    E[0] = -0.5 / dt * np.asarray(init0, dtype=float)
+    E[m - 1] = 0.5 / dt * np.asarray(final0, dtype=float)
+    return E
+
+
 def build_E_stack(ops: MetricOperators, init0, final0, n: int):
     """Per-order E_d matrices given order-0 endpoint values.
 

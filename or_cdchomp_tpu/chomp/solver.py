@@ -46,19 +46,43 @@ class ChompEngine:
     pytrees batched along a leading axis.
     """
 
-    def __init__(self, spec: ChompSpec, model, fields, A, Ainv,
+    def __init__(self, spec: ChompSpec, model, fields, A=None, Ainv=None,
                  cons: Optional[TSRConstraintSet] = None,
                  extra_cost: Optional[Callable] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, metric_ops=None, metric_mode="auto"):
+        from or_cdchomp_tpu.chomp import metric as metric_mod
         from or_cdchomp_tpu.models.robot import CompiledFK
 
         self.spec = spec
         self.fields = fields
         self.dtype = dtype
-        self.A = jnp.asarray(A, dtype=dtype)
-        self.Ainv = jnp.asarray(Ainv, dtype=dtype)
         self.cons = cons if cons is not None else TSRConstraintSet.build(())
         self.extra_cost = extra_cost
+        self.metric_ops = metric_ops
+
+        # metric backend: dense m×m MXU gemms, or the O(m·n)
+        # semiseparable closed form (metric.py) for long trajectories
+        sep_ok = metric_mod.sep_eligible(spec.D, not spec.start_tsr)
+        if metric_mode == "auto":
+            metric_mode = ("sep" if sep_ok and spec.m >= metric_mod.SEP_MIN_M
+                           else "dense")
+        if metric_mode == "sep" and not sep_ok:
+            raise ValueError("semiseparable metric requires D=1 with both "
+                             "endpoints fixed (no start_tsr)")
+        self.metric_mode = metric_mode
+        if metric_mode == "dense":
+            if A is None or Ainv is None:
+                if metric_ops is None:
+                    metric_ops = metric_mod.build_metric(
+                        spec.m, spec.dt, D=spec.D,
+                        has_init0=not spec.start_tsr)
+                    self.metric_ops = metric_ops
+                A, Ainv = metric_ops.A, metric_ops.Ainv
+            self.A = jnp.asarray(A, dtype=dtype)
+            self.Ainv = jnp.asarray(Ainv, dtype=dtype)
+        else:
+            self.A = None
+            self.Ainv = None
 
         act = (np.ones(len(model.sphere_link), dtype=bool)
                if spec.floating_base else model.sphere_active_mask())
@@ -76,6 +100,59 @@ class ChompEngine:
         self.n_spheres_total = len(order)
         # FK restricted to the active spheres, in active-first order
         self.fk = CompiledFK(model, dtype=dtype, sphere_subset=order[:n_act])
+
+    # -- metric backend ------------------------------------------------------
+
+    def apply_A(self, X):
+        """A · X  (m×m gemm, or the tridiagonal stencil in sep mode)."""
+        if self.metric_mode == "sep":
+            from or_cdchomp_tpu.chomp import metric as mm
+            return mm.sep_apply_A(X, self.spec.dt)
+        return self.A @ X
+
+    def solve_A(self, G):
+        """A⁻¹ · G  (dense gemm, or two cumsums in sep mode)."""
+        if self.metric_mode == "sep":
+            from or_cdchomp_tpu.chomp import metric as mm
+            return mm.sep_solve(G, self.spec.dt)
+        return self.Ainv @ G
+
+    def ainv_block(self, pts):
+        """Ainv[pts, pts] (K, K) for the constraint-projection system."""
+        if self.metric_mode == "sep":
+            from or_cdchomp_tpu.chomp import metric as mm
+            return mm.sep_ainv_entries(pts[:, None], pts[None, :],
+                                       self.spec.m,
+                                       self.spec.dt).astype(self.dtype)
+        return self.Ainv[pts[:, None], pts[None, :]]
+
+    def ainv_cols(self, pts):
+        """Ainv[:, pts] (m, K) for spreading constraint corrections."""
+        if self.metric_mode == "sep":
+            from or_cdchomp_tpu.chomp import metric as mm
+            rows = jnp.arange(self.spec.m)
+            return mm.sep_ainv_entries(rows[:, None], pts[None, :],
+                                       self.spec.m,
+                                       self.spec.dt).astype(self.dtype)
+        return self.Ainv[:, pts]
+
+    def build_affine(self, init0, final0, n):
+        """(B, trC, Evels) for given endpoint values — closed form in
+        sep mode, K/E stacks otherwise (chomp.c:319-330, 348-386)."""
+        from or_cdchomp_tpu.chomp import metric as mm
+        m, dt = self.spec.m, self.spec.dt
+        if self.metric_mode == "sep":
+            B, trC = mm.sep_B_trC(m, dt, init0, final0, n)
+            Ev = mm.sep_Evels(m, dt, init0, final0, n)
+            return B, trC, Ev
+        ops = self.metric_ops
+        if ops is None:
+            ops = mm.build_metric(m, dt, D=self.spec.D,
+                                  has_init0=not self.spec.start_tsr)
+            self.metric_ops = ops
+        B, trC = mm.build_B_trC(ops, init0, final0, n)
+        Ev = mm.build_Evels(ops, init0, final0, n)
+        return B, trC, Ev
 
     # -- trajectory row bookkeeping ----------------------------------------
 
@@ -105,7 +182,7 @@ class ChompEngine:
 
     def smooth_cost(self, prob: ChompProblem, T_mov):
         """tr(½TᵀAT + BᵀT) + trC  (chomp.c:660-677)."""
-        AT = self.A @ T_mov
+        AT = self.apply_A(T_mov)
         return (0.5 * jnp.sum(T_mov * AT) + jnp.sum(prob.B * T_mov)
                 + prob.trC)
 
@@ -145,7 +222,6 @@ class ChompEngine:
 
     def _limit_repair(self, T_mov, lo, hi):
         """Iterative joint-limit repair (chomp.c:608-655)."""
-        Ainv = self.Ainv
 
         def cond(carry):
             _, cnt, done = carry
@@ -158,7 +234,7 @@ class ChompEngine:
             amax = jnp.argmax(absG)
             viol = absG[amax]
             pred = viol > 0.0
-            GjA = Ainv @ Gj
+            GjA = self.solve_A(Gj)
             denom = GjA.ravel()[amax]
             scale = 1.01 * Gj.ravel()[amax] / jnp.where(denom == 0.0, 1.0, denom)
             T_new = T + scale * GjA
@@ -184,15 +260,15 @@ class ChompEngine:
         c_obs, G, kin = self._cost_and_grad(prob, want_grad=True)
 
         # smoothness gradient (chomp.c:515-522)
-        G = G + self.A @ T_mov + prob.B
+        G = G + self.apply_A(T_mov) + prob.B
 
         if not spec.use_momentum:
-            AG_new = self.Ainv @ G
+            AG_new = self.solve_A(G)
             leap = hmc.leapfrog_first
         else:
             # leapfrog half step on first use (chomp.c:533-548)
             scale = jnp.where(hmc.leapfrog_first, 0.5, 1.0) / lam
-            AG_new = AG + scale * (self.Ainv @ G)
+            AG_new = AG + scale * self.solve_A(G)
             leap = jnp.zeros_like(hmc.leapfrog_first)
 
         # constraint projection (chomp.c:553-600)
@@ -200,7 +276,7 @@ class ChompEngine:
             val, jac = eval_tsr_all(spec, self.fk, prob, prob.traj,
                                     self.cons, kin)
             T_mov = T_mov + project_constraints(
-                spec, self.cons, self.Ainv, lam, AG_new, T_mov, val, jac)
+                spec, self.cons, self, lam, AG_new, T_mov, val, jac)
 
         # gradient descent step (chomp.c:604-605)
         T_mov = T_mov - AG_new / lam

@@ -210,6 +210,32 @@ class RobotModel:
             dof_max_vel=mv,
         )
 
+    def with_spheres(self, rows) -> "RobotModel":
+        """Append collision spheres; rows: (link_name, pos3, radius).
+        Used for grabbed-body geometry re-rooted to the grabbing link
+        (orcdchomp_mod.cpp:2200-2208)."""
+        if not rows:
+            return self
+        link_idx = {n: i for i, n in enumerate(self.link_names)}
+        sl = np.concatenate([self.sphere_link,
+                             np.array([link_idx[r[0]] for r in rows])])
+        sp = np.concatenate([self.sphere_pos,
+                             np.asarray([r[1] for r in rows],
+                                        dtype=np.float64).reshape(-1, 3)])
+        sr = np.concatenate([self.sphere_radius,
+                             np.asarray([r[2] for r in rows],
+                                        dtype=np.float64)])
+        return dataclasses.replace(self, sphere_link=sl, sphere_pos=sp,
+                                   sphere_radius=sr)
+
+    def select_spheres(self, idx) -> "RobotModel":
+        """Keep only the spheres at ``idx`` (release of a grabbed body)."""
+        idx = np.asarray(idx)
+        return dataclasses.replace(
+            self, sphere_link=self.sphere_link[idx],
+            sphere_pos=self.sphere_pos[idx],
+            sphere_radius=self.sphere_radius[idx])
+
     # ----- static analysis -------------------------------------------------
 
     def folded(self):

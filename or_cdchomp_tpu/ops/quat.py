@@ -305,3 +305,73 @@ def quat_from_ypr(ypr):
 def pose_from_xyzypr(xyzypr):
     """[x y z yaw pitch roll] → pose. (kin.c:733-752)"""
     return jnp.concatenate([xyzypr[..., :3], quat_from_ypr(xyzypr[..., 3:])], axis=-1)
+
+
+def axisangle_rotate(axis, angle, v):
+    """Rotate vector(s) v about ``axis`` by ``angle`` (Rodrigues).
+    (kin.c:545-560)"""
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    return (v * c + jnp.cross(axis, v) * s
+            + axis * (jnp.sum(axis * v, axis=-1, keepdims=True) * (1.0 - c)))
+
+
+def axisangle_to_R(axis, angle):
+    """Axis-angle → rotation matrix (..., 3, 3). (kin.c:562-583)"""
+    return quat_to_R(quat_from_axisangle(axis, angle))
+
+
+def pose_to_dR(pose):
+    """Pose → (position (...,3), rotation matrix (...,3,3)).
+    (kin.c:470-508 pose_to_dR path)"""
+    return pose[..., :3], quat_to_R(pose[..., 3:])
+
+
+def pose_to_pos_quat(pose):
+    """Pose → (pos (...,3), quat (...,4)). (kin.c:754-761)"""
+    return pose[..., :3], pose[..., 3:]
+
+
+def pose_from_pos_quat(pos=None, quat=None, dtype=jnp.float32):
+    """(pos, quat) → pose, either part defaulting to identity.
+    (kin.c:762-770)"""
+    if pos is None and quat is None:
+        return pose_identity(dtype)
+    if pos is None:
+        pos = jnp.zeros(quat.shape[:-1] + (3,), dtype=quat.dtype)
+    if quat is None:
+        quat = jnp.broadcast_to(quat_identity(pos.dtype),
+                                pos.shape[:-1] + (4,))
+    return jnp.concatenate([pos, quat], axis=-1)
+
+
+def pose_from_op(from_pos, to_pos):
+    """Pose at ``from_pos`` whose +Z axis points at ``to_pos``; returns
+    (pose, length).  (kin.c:772-786)"""
+    return pose_from_op_diff(from_pos, to_pos - from_pos)
+
+
+def pose_from_op_diff(from_pos, to_diff):
+    """Pose at ``from_pos`` with +Z along ``to_diff``; returns
+    (pose, ‖to_diff‖).  Frame completion picks the better-conditioned
+    of two Gram-Schmidt branches with ``where`` — branch-free version
+    of kin.c:788-844.
+    """
+    length = jnp.linalg.norm(to_diff, axis=-1)
+    z = to_diff / length[..., None]
+    zx, zy, zz = z[..., 0], z[..., 1], z[..., 2]
+
+    # branch A (|z_x| > 0.9): X from e2 × Z, then Y = Z × X
+    lenA = jnp.sqrt(zz * zz + zx * zx)
+    xA = jnp.stack([zz / lenA, jnp.zeros_like(zz), -zx / lenA], axis=-1)
+    yA = jnp.cross(z, xA)
+    # branch B: Y from Z × e1, then X = Y × Z
+    lenB = jnp.sqrt(zz * zz + zy * zy)
+    yB = jnp.stack([jnp.zeros_like(zz), zz / lenB, -zy / lenB], axis=-1)
+    xB = jnp.cross(yB, z)
+
+    useA = (jnp.abs(zx) > 0.9)[..., None]
+    x = jnp.where(useA, xA, xB)
+    y = jnp.where(useA, yA, yB)
+    R = jnp.stack([x, y, z], axis=-1)
+    return pose_from_dR(from_pos, R), length

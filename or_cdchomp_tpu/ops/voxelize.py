@@ -70,6 +70,32 @@ class Scene(NamedTuple):
         ) if cylinders else jnp.zeros((0,), dtype=dtype)
         return cls(bp, bh, sc, sr, cp, cr, ch)
 
+    def bounding_spheres(self):
+        """(centers (N, 3), radii (N,)) covering every primitive —
+        sphere primitives exactly, boxes/cylinders by their circumscribed
+        spheres.  Used when a grabbed body's geometry becomes robot
+        collision spheres (orcdchomp_mod.cpp:2200-2208 analog)."""
+        centers, radii = [], []
+        sc = np.asarray(self.sphere_center, dtype=np.float64)
+        sr = np.asarray(self.sphere_radius, dtype=np.float64)
+        for i in range(sc.shape[0]):
+            centers.append(sc[i])
+            radii.append(float(sr[i]))
+        bp = np.asarray(self.box_pose, dtype=np.float64)
+        bh = np.asarray(self.box_half, dtype=np.float64)
+        for i in range(bp.shape[0]):
+            centers.append(bp[i, :3])
+            radii.append(float(np.linalg.norm(bh[i])))
+        cp = np.asarray(self.cyl_pose, dtype=np.float64)
+        cr = np.asarray(self.cyl_radius, dtype=np.float64)
+        ch = np.asarray(self.cyl_half, dtype=np.float64)
+        for i in range(cp.shape[0]):
+            centers.append(cp[i, :3])
+            radii.append(float(np.sqrt(cr[i] ** 2 + ch[i] ** 2)))
+        if not centers:
+            return np.zeros((0, 3)), np.zeros((0,))
+        return np.stack(centers), np.asarray(radii)
+
 
 # ---------------------------------------------------------------------------
 # point signed distances (exact)

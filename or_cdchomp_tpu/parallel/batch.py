@@ -34,17 +34,30 @@ def stack_problems(problems) -> ChompProblem:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *problems)
 
 
+def pad_problems(probs: ChompProblem, multiple: int):
+    """Pad the problem axis to a multiple (repeating the last row) so a
+    ragged batch shards evenly; returns (padded, original_P).  Slice
+    results back with ``jax.tree.map(lambda x: x[:original_P], out)``."""
+    P_ = int(jax.tree.leaves(probs)[0].shape[0])
+    pad = (-P_) % multiple
+    if pad == 0:
+        return probs, P_
+    padded = jax.tree.map(
+        lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])]), probs)
+    return padded, P_
+
+
 def problem_batch_from_grid(problem: ChompProblem, starts, goals,
-                            engine: ChompEngine, metric_ops, seeds=None):
+                            engine: ChompEngine, metric_ops=None, seeds=None):
     """Vectorized batch construction: broadcast a template problem to a
     (P,) batch with per-problem straight-line trajectories, metric
     affine terms, and RNG keys.
 
     starts/goals: (P, n) arrays.  The template supplies everything else
-    (fields, limits, weights).
+    (fields, limits, weights).  ``metric_ops`` is optional — the
+    engine's metric backend builds the affine terms.
     """
-    from or_cdchomp_tpu.chomp import metric as mm
-
     starts = np.asarray(starts, dtype=np.float64)
     goals = np.asarray(goals, dtype=np.float64)
     P_, n = starts.shape
@@ -52,12 +65,11 @@ def problem_batch_from_grid(problem: ChompProblem, starts, goals,
     a = np.linspace(0.0, 1.0, npts)[None, :, None]
     trajs = (1 - a) * starts[:, None, :] + a * goals[:, None, :]
 
-    B = np.stack([mm.build_B_trC(metric_ops, trajs[i, 0], trajs[i, -1], n)[0]
-                  for i in range(P_)])
-    trC = np.array([mm.build_B_trC(metric_ops, trajs[i, 0], trajs[i, -1], n)[1]
-                    for i in range(P_)])
-    Ev = np.stack([mm.build_Evels(metric_ops, trajs[i, 0], trajs[i, -1], n)
-                   for i in range(P_)])
+    affines = [engine.build_affine(trajs[i, 0], trajs[i, -1], n)
+               for i in range(P_)]
+    B = np.stack([af[0] for af in affines])
+    trC = np.array([af[1] for af in affines])
+    Ev = np.stack([af[2] for af in affines])
 
     if seeds is None:
         seeds = np.arange(P_)
@@ -100,8 +112,22 @@ class BatchSolver:
         self._replicated = NamedSharding(mesh, P())
 
     def shard(self, probs: ChompProblem) -> ChompProblem:
-        """Place the batch with the problem axis sharded over the mesh."""
-        return jax.device_put(probs, self._sharding)
+        """Place the batch with the problem axis sharded over the mesh.
+
+        NamedSharding needs the batch size divisible by the mesh axis;
+        for ragged batches fall back to the largest divisor sub-mesh
+        (replicated if coprime) so small/odd batches still run — full
+        utilization needs P % mesh_size == 0 (see pad_problems).
+        """
+        P_ = int(jax.tree.leaves(probs)[0].shape[0])
+        size = int(np.prod(self.mesh.devices.shape))
+        if P_ % size == 0:
+            return jax.device_put(probs, self._sharding)
+        d = int(np.gcd(P_, size))
+        if d <= 1:
+            return jax.device_put(probs, self._replicated)
+        sub = Mesh(self.mesh.devices.reshape(-1)[:d], (self.axis,))
+        return jax.device_put(probs, NamedSharding(sub, P(self.axis)))
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def iterate(self, probs: ChompProblem, n_iter: int):

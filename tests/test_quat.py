@@ -100,3 +100,55 @@ def test_flip_closerto():
     t = jnp.asarray([0.0, 0.0, 0.0, -1.0])
     out = qt.quat_flip_closerto(q, t)
     np.testing.assert_allclose(np.asarray(out), [0, 0, 0, -1.0])
+
+
+# ---- kin.c:545-583, 754-844 additions ---------------------------------
+
+def test_axisangle_rotate_matches_quat():
+    rng = np.random.default_rng(7)
+    axis = rng.normal(size=3)
+    axis /= np.linalg.norm(axis)
+    angle = 1.234
+    v = rng.normal(size=(5, 3))
+    out = np.asarray(qt.axisangle_rotate(
+        jnp.asarray(axis), jnp.asarray(angle), jnp.asarray(v)))
+    q = qt.quat_from_axisangle(jnp.asarray(axis), jnp.asarray(angle))
+    ref = np.asarray(qt.quat_rotate(q, jnp.asarray(v)))
+    np.testing.assert_allclose(out, ref, atol=1e-12)
+    R = np.asarray(qt.axisangle_to_R(jnp.asarray(axis), jnp.asarray(angle)))
+    np.testing.assert_allclose((R @ v.T).T, ref, atol=1e-12)
+
+
+def test_pose_pos_quat_pack():
+    rng = np.random.default_rng(8)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    pos = rng.normal(size=3)
+    pose = qt.pose_from_pos_quat(jnp.asarray(pos), jnp.asarray(q))
+    p2, q2 = qt.pose_to_pos_quat(pose)
+    np.testing.assert_allclose(np.asarray(p2), pos)
+    np.testing.assert_allclose(np.asarray(q2), q)
+    d, R = qt.pose_to_dR(pose)
+    np.testing.assert_allclose(np.asarray(d), pos)
+    np.testing.assert_allclose(np.asarray(R),
+                               np.asarray(qt.quat_to_R(jnp.asarray(q))))
+
+
+def test_pose_from_op():
+    """+Z points from 'from' to 'to'; frame is orthonormal; length is
+    the separation (kin.c:772-844), including the |z_x|>0.9 branch."""
+    rng = np.random.default_rng(9)
+    cases = [(rng.normal(size=3), rng.normal(size=3)),
+             (np.zeros(3), np.array([5.0, 0.01, 0.0])),   # x-dominant branch
+             (np.ones(3), np.array([1.0, 2.0, 1.0]))]
+    for frm, to in cases:
+        pose, length = qt.pose_from_op(jnp.asarray(frm), jnp.asarray(to))
+        pose = np.asarray(pose)
+        np.testing.assert_allclose(float(length), np.linalg.norm(to - frm),
+                                   atol=1e-12)
+        np.testing.assert_allclose(pose[:3], frm, atol=1e-12)
+        R = np.asarray(qt.quat_to_R(jnp.asarray(pose[3:])))
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-9)
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-9)
+        np.testing.assert_allclose(R[:, 2], (to - frm) / np.linalg.norm(to - frm),
+                                   atol=1e-9)

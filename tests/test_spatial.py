@@ -55,3 +55,141 @@ def test_xm_from_pose_blocks():
     np.testing.assert_allclose(X[:3, 3:], 0, atol=1e-12)
     rx = np.asarray(sp.cross_mat(p[:3]))
     np.testing.assert_allclose(X[3:, :3], rx @ R, atol=1e-12)
+
+
+def test_x_pose_roundtrips():
+    """xm/xf ↔ pose round-trips (spatial.c:33-135)."""
+    for _ in range(4):
+        p = rand_pose()
+        p[3:] *= np.sign(p[6]) or 1.0  # canonical sign for comparison
+        pm = np.array(sp.xm_to_pose(sp.xm_from_pose(jnp.asarray(p))))
+        pf = np.array(sp.xf_to_pose(sp.xf_from_pose(jnp.asarray(p))))
+        for out in (pm, pf):
+            if np.dot(out[3:], p[3:]) < 0:
+                out[3:] = -out[3:]
+            np.testing.assert_allclose(out, p, atol=1e-9)
+
+
+def test_x_invert():
+    """X⁻¹ = per-block transpose for motion transforms of pure
+    rotations; general identity Xm(pose)·x_invert-of-Xf(pose)ᵀ… checked
+    via Xm(p)⁻¹ = Xm(p⁻¹) (spatial.c:251-268)."""
+    p = rand_pose()
+    Xm = np.asarray(sp.xm_from_pose(jnp.asarray(p)))
+    Xm_inv = np.asarray(sp.xm_from_pose(qt.pose_invert(jnp.asarray(p))))
+    np.testing.assert_allclose(Xm @ Xm_inv, np.eye(6), atol=1e-9)
+    # x_invert transposes each 3x3 block
+    Xi = np.asarray(sp.x_invert(jnp.asarray(Xm)))
+    for bi in range(2):
+        for bj in range(2):
+            np.testing.assert_allclose(
+                Xi[3 * bi:3 * bi + 3, 3 * bj:3 * bj + 3],
+                Xm[3 * bi:3 * bi + 3, 3 * bj:3 * bj + 3].T, atol=1e-12)
+
+
+def test_se3_expmap_consistency():
+    """pose_from_spavel_unittime agrees with H_from_spavel_unittime,
+    including the small-angle branch (spatial.c:152-248)."""
+    for tw in [RNG.normal(size=6), np.array([1e-5, -2e-5, 1e-5, 0.3, -0.1, 0.2]),
+               np.zeros(6)]:
+        pose = np.asarray(sp.pose_from_spavel_unittime(jnp.asarray(tw)))
+        H = np.asarray(sp.H_from_spavel_unittime(jnp.asarray(tw)))
+        Hp = np.asarray(qt.pose_to_H(jnp.asarray(pose)))
+        np.testing.assert_allclose(Hp, H, atol=1e-8)
+
+
+def test_se3_expmap_pure_rotation_and_translation():
+    w = np.array([0.0, 0.0, 0.7, 0.0, 0.0, 0.0])
+    pose = np.asarray(sp.pose_from_spavel_unittime(jnp.asarray(w)))
+    np.testing.assert_allclose(pose[:3], 0.0, atol=1e-12)
+    np.testing.assert_allclose(pose[3:], [0, 0, np.sin(0.35), np.cos(0.35)],
+                               atol=1e-12)
+    v = np.array([0.0, 0.0, 0.0, 1.0, 2.0, 3.0])
+    pose = np.asarray(sp.pose_from_spavel_unittime(jnp.asarray(v)))
+    np.testing.assert_allclose(pose[:3], v[3:], atol=1e-9)
+    np.testing.assert_allclose(pose[3:], [0, 0, 0, 1], atol=1e-9)
+
+
+def test_point_shifts_roundtrip():
+    """v_to_pos/v_from_pos and f_to_pos/f_from_pos are inverse pairs
+    (spatial.c:270-292)."""
+    v = jnp.asarray(RNG.normal(size=6))
+    pos = jnp.asarray(RNG.normal(size=3))
+    np.testing.assert_allclose(
+        np.asarray(sp.v_from_pos(sp.v_to_pos(v, pos), pos)),
+        np.asarray(v), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sp.f_from_pos(sp.f_to_pos(v, pos), pos)),
+        np.asarray(v), atol=1e-12)
+
+
+def test_inertia_roundtrip_and_transform():
+    """inertia_from_com ↔ inertia_to_com round-trip; inertia_x preserves
+    kinetic energy ½vᵀIv (spatial.c:137-149, 377-461)."""
+    mass = 2.5
+    com = RNG.normal(size=3)
+    A = RNG.normal(size=(3, 3))
+    Icom = A @ A.T + 3.0 * np.eye(3)
+    I6 = np.asarray(sp.inertia_from_com(mass, jnp.asarray(com),
+                                        jnp.asarray(Icom)))
+    m2, c2, Ic2 = sp.inertia_to_com(jnp.asarray(I6))
+    np.testing.assert_allclose(float(m2), mass, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(c2), com, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ic2), Icom, atol=1e-9)
+
+    p = rand_pose()
+    Ia = np.asarray(sp.inertia_x(jnp.asarray(p), jnp.asarray(I6)))
+    v_a = RNG.normal(size=6)
+    Xm_ba = np.asarray(sp.xm_from_pose(qt.pose_invert(jnp.asarray(p))))
+    v_b = Xm_ba @ v_a
+    np.testing.assert_allclose(v_a @ Ia @ v_a, v_b @ I6 @ v_b, rtol=1e-9)
+
+
+def test_inertia_sphere_solid():
+    I6 = np.asarray(sp.inertia_sphere_solid(jnp.zeros(3), 2.0, 0.5))
+    np.testing.assert_allclose(I6[:3, :3], 0.4 * 2.0 * 0.25 * np.eye(3),
+                               atol=1e-12)
+    np.testing.assert_allclose(I6[3:, 3:], 2.0 * np.eye(3), atol=1e-12)
+
+
+def test_vxIv_orthogonal_to_velocity_rotation():
+    """For a pure angular velocity, the bias force does no work:
+    ωᵀ·(v×*Iv)_ang = 0 (spatial.c:473-482)."""
+    I6 = np.asarray(sp.inertia_sphere_solid(
+        jnp.asarray(RNG.normal(size=3)), 1.5, 0.3))
+    w = RNG.normal(size=3)
+    v = np.concatenate([w, np.zeros(3)])
+    out = np.asarray(sp.vxIv(jnp.asarray(v), jnp.asarray(I6)))
+    np.testing.assert_allclose(w @ out[:3], 0.0, atol=1e-9)
+
+
+def test_spring_damper_restoring():
+    """At rest and displaced, the wrench pulls back toward the
+    reference (spatial.c:484-608)."""
+    ref = np.array([0.0, 0, 0, 0, 0, 0, 1.0])
+    cur = np.array([0.1, 0, 0, 0, 0, 0, 1.0])
+    f = np.asarray(sp.spring_damper(
+        jnp.asarray(cur), jnp.zeros(6), jnp.asarray(ref),
+        Klin=10.0, Blin=1.0, Kang=5.0, Bang=0.5))
+    np.testing.assert_allclose(f[3:], [-1.0, 0, 0], atol=1e-12)
+    # rotated about z by 0.2 rad → restoring torque about −z
+    q = np.array([0, 0, np.sin(0.1), np.cos(0.1)])
+    cur2 = np.concatenate([np.zeros(3), q])
+    f2 = np.asarray(sp.spring_damper(
+        jnp.asarray(cur2), jnp.zeros(6), jnp.asarray(ref),
+        Klin=10.0, Blin=1.0, Kang=5.0, Bang=0.5))
+    np.testing.assert_allclose(f2[:3], [0, 0, -5.0 * 0.2], atol=1e-9)
+    np.testing.assert_allclose(f2[3:], 0.0, atol=1e-12)
+
+
+def test_cross_matrices():
+    v = jnp.asarray(RNG.normal(size=6))
+    u = jnp.asarray(RNG.normal(size=6))
+    Cf = np.asarray(sp.mat_crossf(v))
+    Cm = np.asarray(sp.mat_crossm(v))
+    np.testing.assert_allclose(Cf, -Cm.T, atol=1e-12)
+    # crossm action matches the cross-product definition
+    w, vl = np.asarray(v[:3]), np.asarray(v[3:])
+    uw, ul = np.asarray(u[:3]), np.asarray(u[3:])
+    expect = np.concatenate([np.cross(w, uw), np.cross(vl, uw) + np.cross(w, ul)])
+    np.testing.assert_allclose(Cm @ np.asarray(u), expect, atol=1e-12)
