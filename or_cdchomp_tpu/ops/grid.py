@@ -116,9 +116,11 @@ def grid_interp_grad(data, lengths, p):
     # neighbor index per axis (offset ±1 along that axis only)
     offs = jnp.where(use_next, 1, -1)  # (..., 3)
     grads = []
+    any_inf = jnp.isinf(v0)
     for axis in range(3):
         nb = sub.at[..., axis].add(offs[..., axis])
         vn = jnp.take(flat, flat_idx(nb), mode="clip")
+        any_inf = any_inf | jnp.isinf(vn)
         # diff oriented low→high: next ⇒ vn - v0 ; prev ⇒ v0 - vn
         diff = jnp.where(use_next[..., axis], vn - v0, v0 - vn)
         grads.append(diff * sizes_f[axis] / lengths[axis])
@@ -126,8 +128,11 @@ def grid_interp_grad(data, lengths, p):
 
     value = v0 + jnp.sum(grad * (p - center), axis=-1)
     inf = jnp.asarray(jnp.inf, dtype=value.dtype)
-    value = jnp.where(in_bounds, value, inf)
-    grad = jnp.where(in_bounds[..., None], grad, 0.0)
+    # HUGE_VAL propagation (grid.c:405-406, 430-431, 438-439): a query
+    # touching an infinite cell reports +inf — "field does not contain"
+    bad = ~in_bounds | any_inf
+    value = jnp.where(bad, inf, value)
+    grad = jnp.where(bad[..., None], 0.0, grad)
     return value, grad, in_bounds
 
 
@@ -189,15 +194,18 @@ def multigrid_interp_grad(data, sizes, lengths, p):
     v0 = jnp.take(flat, flat_idx(sub), mode="clip")
     offs = jnp.where(use_next, 1, -1)
     grads = []
+    any_inf = jnp.isinf(v0)
     for axis in range(3):
         nb = sub.at[..., axis].add(offs[..., axis])
         vn = jnp.take(flat, flat_idx(nb), mode="clip")
+        any_inf = any_inf | jnp.isinf(vn)
         diff = jnp.where(use_next[..., axis], vn - v0, v0 - vn)
         grads.append(diff * sizes_f[..., axis] / lengths[..., axis])
     grad = jnp.stack(grads, axis=-1)
 
     value = v0 + jnp.sum(grad * (p - center), axis=-1)
     inf = jnp.asarray(jnp.inf, dtype=value.dtype)
-    value = jnp.where(in_bounds, value, inf)
-    grad = jnp.where(in_bounds[..., None], grad, 0.0)
+    bad = ~in_bounds | any_inf   # HUGE_VAL propagation, grid.c:405-439
+    value = jnp.where(bad, inf, value)
+    grad = jnp.where(bad[..., None], 0.0, grad)
     return value, grad, in_bounds

@@ -14,7 +14,103 @@ TPU VPU: pure elementwise arithmetic, no data-dependent control flow.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Structure tensors.
+#
+# The quaternion product, the quaternion sandwich rotation, and the
+# quaternion→R conversion are bilinear/quadratic forms in the quaternion
+# components.  Expressing them as einsum contractions against small
+# constant tensors keeps each operation a *single* fused contraction in
+# the compiled graph instead of dozens of scalar slice/mul/add ops —
+# critical both for XLA CPU (per-op dispatch overhead over deep FK
+# chains) and for TPU (contractions map onto the MXU and fuse cleanly).
+# Coefficients reproduce kin.c:117-136 (product), kin.c:389-420
+# (rotate, pure quadratic form) and kin.c:348-368 (R, 1−2(...) form)
+# exactly, up to float reassociation.
+# ---------------------------------------------------------------------------
+
+_X, _Y, _Z, _W = 0, 1, 2, 3
+
+
+def _build_qmul():
+    """M[k,i,j] with (a⊗b)[k] = Σ_ij M[k,i,j] a[i] b[j] (Hamilton)."""
+    M = np.zeros((4, 4, 4))
+    terms = {
+        _X: [(_W, _X, 1), (_X, _W, 1), (_Y, _Z, 1), (_Z, _Y, -1)],
+        _Y: [(_W, _Y, 1), (_X, _Z, -1), (_Y, _W, 1), (_Z, _X, 1)],
+        _Z: [(_W, _Z, 1), (_X, _Y, 1), (_Y, _X, -1), (_Z, _W, 1)],
+        _W: [(_W, _W, 1), (_X, _X, -1), (_Y, _Y, -1), (_Z, _Z, -1)],
+    }
+    for k, rows in terms.items():
+        for i, j, s in rows:
+            M[k, i, j] = s
+    return M
+
+
+def _build_qrot():
+    """T[a,b,i,j] with R(q)[a,b] = Σ_ij T[a,b,i,j] q[i] q[j]; the pure
+    quadratic sandwich form (exact for unit q), kin.c:389-420."""
+    T = np.zeros((3, 3, 4, 4))
+    # diagonal: x row -> (+xx -yy -zz +ww), cycled
+    sgn = {
+        (0, 0): (1, -1, -1, 1), (1, 1): (-1, 1, -1, 1), (2, 2): (-1, -1, 1, 1),
+    }
+    for (a, b), s in sgn.items():
+        for c, sc in zip((_X, _Y, _Z, _W), s):
+            T[a, b, c, c] = sc
+    # off-diagonal: R[0,1] = 2(xy - zw), R[0,2] = 2(xz + yw),
+    # R[1,0] = 2(xy + zw), R[1,2] = 2(yz - xw),
+    # R[2,0] = 2(xz - yw), R[2,1] = 2(yz + xw)
+    off = {
+        (0, 1): [(_X, _Y, 2), (_Z, _W, -2)],
+        (0, 2): [(_X, _Z, 2), (_Y, _W, 2)],
+        (1, 0): [(_X, _Y, 2), (_Z, _W, 2)],
+        (1, 2): [(_Y, _Z, 2), (_X, _W, -2)],
+        (2, 0): [(_X, _Z, 2), (_Y, _W, -2)],
+        (2, 1): [(_Y, _Z, 2), (_X, _W, 2)],
+    }
+    for (a, b), rows in off.items():
+        for i, j, s in rows:
+            # symmetrize so T contracts cleanly against q⊗q
+            T[a, b, i, j] += s / 2.0
+            T[a, b, j, i] += s / 2.0
+    return T
+
+
+def _build_qR():
+    """T[a,b,i,j] with R(q) = I + Σ_ij T[a,b,i,j] q[i] q[j]; the
+    1−2(...) form of kin.c:348-368 (also exact only for unit q)."""
+    T = np.zeros((3, 3, 4, 4))
+    diag = {0: (_Y, _Z), 1: (_X, _Z), 2: (_X, _Y)}
+    for a, (i, j) in diag.items():
+        T[a, a, i, i] = -2.0
+        T[a, a, j, j] = -2.0
+    off = {
+        (0, 1): [(_X, _Y, 2), (_Z, _W, -2)],
+        (0, 2): [(_X, _Z, 2), (_Y, _W, 2)],
+        (1, 0): [(_X, _Y, 2), (_Z, _W, 2)],
+        (1, 2): [(_Y, _Z, 2), (_X, _W, -2)],
+        (2, 0): [(_X, _Z, 2), (_Y, _W, -2)],
+        (2, 1): [(_Y, _Z, 2), (_X, _W, 2)],
+    }
+    for (a, b), rows in off.items():
+        for i, j, s in rows:
+            T[a, b, i, j] += s / 2.0
+            T[a, b, j, i] += s / 2.0
+    return T
+
+
+_QMUL64 = _build_qmul()
+_QROT64 = _build_qrot()
+_QR64 = _build_qR()
+
+
+def _const(arr64, dtype):
+    return jnp.asarray(arr64, dtype=dtype)
 
 
 def quat_identity(dtype=jnp.float32):
@@ -51,35 +147,23 @@ def pose_flip_closerto(pose, target):
 
 
 def quat_compose(qab, qbc):
-    """Hamilton product q_ac = q_ab * q_bc. (kin.c:117-136)"""
-    ax, ay, az, aw = (qab[..., i] for i in range(4))
-    bx, by, bz, bw = (qbc[..., i] for i in range(4))
-    return jnp.stack(
-        [
-            aw * bx + ax * bw + ay * bz - az * by,
-            aw * by - ax * bz + ay * bw + az * bx,
-            aw * bz + ax * by - ay * bx + az * bw,
-            aw * bw - ax * bx - ay * by - az * bz,
-        ],
-        axis=-1,
-    )
+    """Hamilton product q_ac = q_ab * q_bc. (kin.c:117-136)
+
+    One einsum contraction against the constant (4,4,4) structure
+    tensor — a single fused op per call instead of ~30 scalar ops,
+    which keeps deep FK chains cheap to compile and execute."""
+    M = _const(_QMUL64, jnp.result_type(qab, qbc))
+    return jnp.einsum("kij,...i,...j->...k", M, qab, qbc)
 
 
 def quat_rotate(q, v):
-    """Rotate 3-vector(s) v by quaternion(s) q. (kin.c:389-420)"""
-    qx, qy, qz, qw = (q[..., i] for i in range(4))
-    x, y, z = (v[..., i] for i in range(3))
-    qx2, qy2, qz2, qw2 = qx * qx, qy * qy, qz * qz, qw * qw
-    xy, xz, xw = qx * qy, qx * qz, qx * qw
-    yz, yw, zw = qy * qz, qy * qw, qz * qw
-    return jnp.stack(
-        [
-            x * (qx2 - qy2 - qz2 + qw2) + 2 * y * (xy - zw) + 2 * z * (xz + yw),
-            2 * x * (xy + zw) + y * (-qx2 + qy2 - qz2 + qw2) + 2 * z * (yz - xw),
-            2 * x * (xz - yw) + 2 * y * (yz + xw) + z * (-qx2 - qy2 + qz2 + qw2),
-        ],
-        axis=-1,
-    )
+    """Rotate 3-vector(s) v by quaternion(s) q. (kin.c:389-420)
+
+    v' = R(q)·v with R(q)[a,b] = Σ T[a,b,i,j] q_i q_j (the pure
+    quadratic sandwich form) — two einsum contractions."""
+    T = _const(_QROT64, jnp.result_type(q, v))
+    R = jnp.einsum("abij,...i,...j->...ab", T, q, q)
+    return jnp.einsum("...ab,...b->...a", R, v)
 
 
 def pose_compose(pab, pbc):
@@ -112,20 +196,12 @@ def pose_invert(pose):
 
 
 def quat_to_R(q):
-    """Unit quaternion(s) → rotation matrix (..., 3, 3). (kin.c:348-368)"""
-    qx, qy, qz, qw = (q[..., i] for i in range(4))
-    xx, xy, xz, xw = qx * qx, qx * qy, qx * qz, qx * qw
-    yy, yz, yw = qy * qy, qy * qz, qy * qw
-    zz, zw = qz * qz, qz * qw
-    r = jnp.stack(
-        [
-            1 - 2 * (yy + zz), 2 * (xy - zw), 2 * (xz + yw),
-            2 * (xy + zw), 1 - 2 * (xx + zz), 2 * (yz - xw),
-            2 * (xz - yw), 2 * (yz + xw), 1 - 2 * (xx + yy),
-        ],
-        axis=-1,
-    )
-    return r.reshape(r.shape[:-1] + (3, 3))
+    """Unit quaternion(s) → rotation matrix (..., 3, 3). (kin.c:348-368)
+
+    R = I + Σ T[a,b,i,j] q_i q_j (the 1−2(...) form) as one einsum."""
+    T = _const(_QR64, q.dtype)
+    return jnp.eye(3, dtype=q.dtype) + jnp.einsum(
+        "abij,...i,...j->...ab", T, q, q)
 
 
 def quat_from_R(R):

@@ -72,7 +72,10 @@ def grid_interp(data, lengths, p):
         if s == sizes[ni]:
             s -= 1
         subs.append(s)
-    value = data[tuple(subs)]
+    v0 = data[tuple(subs)]
+    if v0 == np.inf:
+        return np.inf
+    value = v0
     for ni in range(3):
         s = subs[ni]
         center = (0.5 + s) / sizes[ni] * lengths[ni]
@@ -84,7 +87,12 @@ def grid_interp(data, lengths, p):
             use_next = not (p[ni] < center)
         nb = list(subs)
         nb[ni] = s + (1 if use_next else -1)
-        diff = (data[tuple(nb)] - value) if use_next else (value - data[tuple(nb)])
+        # grid.c:428-443: diff always uses the *grid* values at the
+        # original index and its neighbor (value_after - value_before),
+        # never the running accumulated value; HUGE_VAL propagates.
+        if data[tuple(nb)] == np.inf:
+            return np.inf
+        diff = (data[tuple(nb)] - v0) if use_next else (v0 - data[tuple(nb)])
         grad = diff * sizes[ni] / lengths[ni]
         value += grad * (p[ni] - center)
     return value

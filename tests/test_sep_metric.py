@@ -87,10 +87,12 @@ def test_engine_sep_equals_dense_end_to_end():
         dtype=mod.dtype, metric_mode="sep")
     p_d, c_d = run.engine.iterate(run.problem, 5)
     p_s, c_s = sep_engine.iterate(run.problem, 5)
+    # f32 engine state: tolerances at f32 resolution (the backends share
+    # the cost path; only the metric solve differs)
     np.testing.assert_allclose(np.asarray(p_s.traj), np.asarray(p_d.traj),
-                               rtol=1e-7, atol=1e-9)
+                               rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_d),
-                               rtol=1e-7, atol=1e-9)
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_api_auto_sep_long_trajectory(monkeypatch):
