@@ -120,6 +120,23 @@ class Robot:
         if hasattr(self, "_fk_cache"):
             del self._fk_cache
 
+    def _link_world_pose(self, link: str) -> np.ndarray:
+        link_idx = self.model.link_names.index(link)
+        fk = self._fk()
+        lp, _ = fk.link_poses(
+            jnp.asarray(self.q_active, dtype=fk.dtype),
+            base_pose=jnp.asarray(self.pose, dtype=fk.dtype))
+        return np.asarray(lp)[link_idx].astype(np.float64)
+
+    def _sphere_owners(self):
+        """Per-sphere owner tags aligned with model.sphere_radius:
+        None for the robot's own spheres, the grabbed body's name for
+        spheres added by :meth:`grab`.  Kept as an explicit array so
+        releasing one body never shifts another body's spheres."""
+        if not hasattr(self, "_owner_tags"):
+            self._owner_tags = [None] * len(self.model.sphere_radius)
+        return self._owner_tags
+
     def grab(self, body: "KinBody", link: str):
         """Attach ``body`` to ``link``: its collision spheres re-root to
         the grabbing link and move with the robot from now on
@@ -132,30 +149,38 @@ class Robot:
         """
         if body.name in self.grabbed:
             raise RuntimeError(f"{body.name} is already grabbed")
-        link_idx = self.model.link_names.index(link)
-        fk = self._fk()
-        lp, _ = fk.link_poses(
-            jnp.asarray(self.q_active, dtype=fk.dtype),
-            base_pose=jnp.asarray(self.pose, dtype=fk.dtype))
-        link_world = np.asarray(lp)[link_idx].astype(np.float64)
+        owners = self._sphere_owners()
+        link_world = self._link_world_pose(link)
         into_link = np_pose.compose(np_pose.invert(link_world), body.pose)
 
         centers, radii = body.scene.bounding_spheres()
         local = np.stack([np_pose.apply(into_link, c) for c in centers]) \
             if len(radii) else np.zeros((0, 3))
-        n_before = len(self.model.sphere_radius)
         self.model = self.model.with_spheres(
             [(link, local[i], float(radii[i])) for i in range(len(radii))])
-        self.grabbed[body.name] = (link, n_before, len(radii))
+        self._owner_tags = owners + [body.name] * len(radii)
+        self.grabbed[body.name] = (link, into_link)
         body.grabbed_by = self.name
         self._invalidate_fk()
 
+    def grabbed_body_pose(self, body_name: str) -> np.ndarray:
+        """Current world pose of a grabbed body (it rides the grabbing
+        link, as OpenRAVE updates grabbed-body transforms with the
+        robot)."""
+        link, into_link = self.grabbed[body_name]
+        return np_pose.compose(self._link_world_pose(link), into_link)
+
     def release(self, body: "KinBody"):
-        """Detach a grabbed body (removes its spheres)."""
-        link, start, count = self.grabbed.pop(body.name)
-        keep = np.ones(len(self.model.sphere_radius), dtype=bool)
-        keep[start:start + count] = False
-        self.model = self.model.select_spheres(np.where(keep)[0])
+        """Detach a grabbed body: remove exactly *its* spheres (found by
+        owner tag, robust to multiple simultaneous grabs) and leave the
+        body where the grabbing link carried it (OpenRAVE Release
+        semantics: the body keeps its current world transform)."""
+        body.pose = self.grabbed_body_pose(body.name)
+        self.grabbed.pop(body.name)
+        owners = self._sphere_owners()
+        keep = [i for i, o in enumerate(owners) if o != body.name]
+        self.model = self.model.select_spheres(np.asarray(keep))
+        self._owner_tags = [owners[i] for i in keep]
         body.grabbed_by = None
         self._invalidate_fk()
 
@@ -336,16 +361,25 @@ class CHOMPModule:
 
     # ----- distance fields ------------------------------------------------
 
+    def _body_world_pose(self, b: KinBody) -> np.ndarray:
+        """Effective world pose: a grabbed body rides its grabbing link
+        (its stored ``pose`` is stale while grabbed)."""
+        if b.grabbed_by and b.grabbed_by in self.robots:
+            return self.robots[b.grabbed_by].grabbed_body_pose(b.name)
+        return b.pose
+
     def _world_occupancy_scene(self, exclude_name):
         """(scenes, poses) of every *enabled* body except the named one
         (the reference's env CheckCollision sees everything enabled;
-        the probe cube is the moving body)."""
+        the probe cube is the moving body).  Grabbed bodies are ordinary
+        enabled kinbodies in OpenRAVE — they are seen at their *carried*
+        world pose, not wherever they were grabbed."""
         scenes, poses = [], []
         for b in self.bodies.values():
-            if b.name == exclude_name or not b.enabled or b.grabbed_by:
+            if b.name == exclude_name or not b.enabled:
                 continue
             scenes.append(b.scene)
-            poses.append(b.pose)
+            poses.append(self._body_world_pose(b))
         for r in self.robots.values():
             if r.name == exclude_name or not r.enabled:
                 continue
@@ -809,10 +843,15 @@ class CHOMPModule:
 
         scenes, invs, names = [], [], []
         for b in self.bodies.values():
-            if not b.enabled or b.grabbed_by:
+            # bodies grabbed by the *checked* robot move with it and are
+            # part of its sphere set; bodies held by other robots stay
+            # obstacles at their carried pose (OpenRAVE CheckCollision
+            # filters only robot↔own-grabbed pairs)
+            if not b.enabled or b.grabbed_by == rn.robot.name:
                 continue
             scenes.append(b.scene)
-            invs.append(jnp.asarray(np_pose.invert(b.pose), dtype=fk.dtype))
+            invs.append(jnp.asarray(
+                np_pose.invert(self._body_world_pose(b)), dtype=fk.dtype))
             names.append(b.name)
         same = jnp.asarray(model.sphere_adjacent_link())
         env_hits, self_hit = _traj_collision_jit(

@@ -325,14 +325,16 @@ def spring_damper(pose, vel, pose_ref, vel_ref=None,
     """
     p, q = pose[..., :3], pose[..., 3:]
     w = vel[..., :3]
-    v_at_body = vel[..., 3:] + jnp.cross(w, -p)   # linear vel of body point
+    # linear velocity of the body point: v + w×p (spatial.c:517-519,
+    # cvx = vel[3] + cz*cwy - cy*cwz = vel[3] + (w×p)_x)
+    v_at_body = vel[..., 3:] + jnp.cross(w, p)
     rp, rq = pose_ref[..., :3], pose_ref[..., 3:]
     if vel_ref is None:
         rw = jnp.zeros_like(w)
         rv_at_body = jnp.zeros_like(v_at_body)
     else:
         rw = vel_ref[..., :3]
-        rv_at_body = vel_ref[..., 3:] + jnp.cross(rw, -rp)
+        rv_at_body = vel_ref[..., 3:] + jnp.cross(rw, rp)
 
     # orientation error as a world-frame rotation vector
     q_err = _quat_compose(quat_invert(rq), q)

@@ -44,14 +44,74 @@ def test_grab_appends_spheres_and_moves_with_link():
     x2, _ = r.sphere_world()
     assert np.linalg.norm(x2[-1] - x_before) > 1e-3
 
-    # grabbed body is excluded from the obstacle world
+    # the grabbed body stays an ordinary enabled kinbody in the world
+    # (OpenRAVE CheckCollision sees it) but at its *carried* pose
     scenes, poses = mod._world_occupancy_scene("table")
-    # only the robot's own sphere scene remains (mug excluded)
-    assert len(scenes) == 1
+    assert len(scenes) == 2   # mug (carried) + robot spheres
+    np.testing.assert_allclose(
+        poses[0], r.grabbed_body_pose("mug"), atol=1e-6)
 
     r.release(mug)
     assert len(r.model.sphere_radius) == n0
     assert mug.grabbed_by is None
+
+
+def test_release_updates_body_pose_to_carried_location():
+    """Released bodies keep the world transform the link carried them
+    to, not their grab-time pose (OpenRAVE Release semantics)."""
+    mod, r = _setup()
+    mug = KinBody("mug", oc.Scene.build(spheres=[((0, 0, 0), 0.03)]))
+    fk = CompiledFK(r.model)
+    lp, _ = fk.link_poses(jnp.asarray(r.q_active, dtype=fk.dtype),
+                          base_pose=jnp.asarray(r.pose, dtype=fk.dtype))
+    mug.pose = np.asarray(lp)[-1].astype(np.float64).copy()
+    mod.add_kinbody(mug)
+    pose_at_grab = mug.pose.copy()
+    r.grab(mug, r.model.link_names[-1])
+    r.q_active = r.q_active + 0.4          # carry the mug somewhere else
+    carried = r.grabbed_body_pose("mug")
+    r.release(mug)
+    np.testing.assert_allclose(mug.pose, carried, atol=1e-6)
+    assert np.linalg.norm(mug.pose[:3] - pose_at_grab[:3]) > 1e-3
+
+
+def test_release_order_with_multiple_grabs():
+    """Releasing an earlier-grabbed body must not orphan or shift a
+    later-grabbed body's spheres (owner-tag regression: grab A(2)+B(1),
+    release A then B → exactly the original sphere count)."""
+    mod, r = _setup()
+    n0 = len(r.model.sphere_radius)
+    a = KinBody("a", oc.Scene.build(
+        spheres=[((0, 0, 0), 0.02), ((0, 0, 0.05), 0.03)]))
+    b = KinBody("b", oc.Scene.build(spheres=[((0, 0, 0), 0.04)]))
+    mod.add_kinbody(a)
+    mod.add_kinbody(b)
+    link = r.model.link_names[-1]
+    r.grab(a, link)
+    r.grab(b, link)
+    assert len(r.model.sphere_radius) == n0 + 3
+    r.release(a)
+    assert len(r.model.sphere_radius) == n0 + 1
+    # the remaining grabbed sphere is b's (radius 0.04), not a leftover
+    np.testing.assert_allclose(float(r.model.sphere_radius[-1]), 0.04,
+                               atol=1e-9)
+    r.release(b)
+    assert len(r.model.sphere_radius) == n0
+    assert a.grabbed_by is None and b.grabbed_by is None
+
+
+def test_other_robots_grabs_stay_obstacles():
+    """A body held by robot X remains an obstacle when planning or
+    collision-checking robot Y."""
+    mod, rx = _setup()
+    ry = Robot("wam2", oc.wam7(), q_active=np.zeros(7))
+    mod.add_robot(ry)
+    mug = KinBody("mug", oc.Scene.build(spheres=[((0, 0, 0), 0.03)]))
+    mod.add_kinbody(mug)
+    rx.grab(mug, rx.model.link_names[-1])
+    # occupancy for an SDF around the table: mug still present
+    scenes, poses = mod._world_occupancy_scene("table")
+    assert len(scenes) == 3   # mug + two robots' sphere scenes
 
 
 def test_grab_twice_raises():

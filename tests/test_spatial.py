@@ -182,6 +182,70 @@ def test_spring_damper_restoring():
     np.testing.assert_allclose(f2[3:], 0.0, atol=1e-12)
 
 
+def _spring_damper_ref(pose, vel, pose_ref, vel_ref, Klin, Blin, Kang, Bang):
+    """Scalar transcription of spatial.c:484-608 (float64)."""
+    cx, cy, cz, cqx, cqy, cqz, cqw = pose
+    cwx, cwy, cwz = vel[:3]
+    cvx = vel[3] + cz * cwy - cy * cwz
+    cvy = vel[4] - cz * cwx + cx * cwz
+    cvz = vel[5] + cy * cwx - cx * cwy
+    rx, ry, rz, rqx, rqy, rqz, rqw = pose_ref
+    if vel_ref is not None:
+        rwx, rwy, rwz = vel_ref[:3]
+        rvx = vel_ref[3] + rz * rwy - ry * rwz
+        rvy = vel_ref[4] - rz * rwx + rx * rwz
+        rvz = vel_ref[5] + ry * rwx - rx * rwy
+    else:
+        rwx = rwy = rwz = rvx = rvy = rvz = 0.0
+    rwqx, rwqy, rwqz, rwqw = -rqx, -rqy, -rqz, rqw
+    rcqx = rwqw * cqx + rwqx * cqw + rwqy * cqz - rwqz * cqy
+    rcqy = rwqw * cqy - rwqx * cqz + rwqy * cqw + rwqz * cqx
+    rcqz = rwqw * cqz + rwqx * cqy - rwqy * cqx + rwqz * cqw
+    rcqw = min(rwqw * cqw - rwqx * cqx - rwqy * cqy - rwqz * cqz, 1.0)
+    denom = np.sqrt(1.0 - rcqw * rcqw)
+    if denom == 0.0:
+        raa = np.zeros(3)
+    else:
+        raa = 2.0 * np.arccos(rcqw) * np.array([rcqx, rcqy, rcqz]) / denom
+    qx2, qy2, qz2, qw2 = rqx * rqx, rqy * rqy, rqz * rqz, rqw * rqw
+    xy, xz, xw = rqx * rqy, rqx * rqz, rqx * rqw
+    yz, yw, zw = rqy * rqz, rqy * rqw, rqz * rqw
+    waa = np.array([
+        raa[0] * (qx2 - qy2 - qz2 + qw2) + 2 * raa[1] * (xy - zw) + 2 * raa[2] * (xz + yw),
+        2 * raa[0] * (xy + zw) + raa[1] * (-qx2 + qy2 - qz2 + qw2) + 2 * raa[2] * (yz - xw),
+        2 * raa[0] * (xz - yw) + 2 * raa[1] * (yz + xw) + raa[2] * (-qx2 - qy2 + qz2 + qw2),
+    ])
+    fx = -Klin * (cx - rx) - Blin * (cvx - rvx)
+    fy = -Klin * (cy - ry) - Blin * (cvy - rvy)
+    fz = -Klin * (cz - rz) - Blin * (cvz - rvz)
+    fnx = -Kang * waa[0] - Bang * (cwx - rwx) - cz * fy + cy * fz
+    fny = -Kang * waa[1] - Bang * (cwy - rwy) + cz * fx - cx * fz
+    fnz = -Kang * waa[2] - Bang * (cwz - rwz) - cy * fx + cx * fy
+    return np.array([fnx, fny, fnz, fx, fy, fz])
+
+
+def test_spring_damper_moving_matches_reference():
+    """Nonzero angular velocity with the body off-origin: the Blin
+    damping acts on v + w×p, the body-point velocity (spatial.c:517-519
+    uses cvx = vel[3] + cz*cwy - cy*cwz)."""
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        pose = np.concatenate([rng.normal(size=3), rng.normal(size=4)])
+        pose[3:] /= np.linalg.norm(pose[3:])
+        pref = np.concatenate([rng.normal(size=3), rng.normal(size=4)])
+        pref[3:] /= np.linalg.norm(pref[3:])
+        vel = rng.normal(size=6)
+        vref = rng.normal(size=6)
+        for vr in (vref, None):
+            want = _spring_damper_ref(pose, vel, pref, vr,
+                                      10.0, 2.0, 5.0, 0.5)
+            got = np.asarray(sp.spring_damper(
+                jnp.asarray(pose), jnp.asarray(vel), jnp.asarray(pref),
+                None if vr is None else jnp.asarray(vr),
+                Klin=10.0, Blin=2.0, Kang=5.0, Bang=0.5))
+            np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
 def test_cross_matrices():
     v = jnp.asarray(RNG.normal(size=6))
     u = jnp.asarray(RNG.normal(size=6))
