@@ -132,6 +132,9 @@ def send_command(mod, text: str) -> str:
             "epsilon": float, "epsilon_self": float,
             "obs_factor": float, "obs_factor_self": float,
             "no_report_cost": "flag", "dat_filename": str,
+            # parsed+validated but cost-dead in the reference too
+            # (orcdchomp_mod.cpp:2036-2078, comment at 1323)
+            "ee_force": _floats, "ee_torque_weights": _floats,
         })
         if "lambda" in kw:
             kw["lambda_"] = kw.pop("lambda")
