@@ -149,8 +149,13 @@ def obstacle_cost_grad(spec: ChompSpec, fields: FieldStack, radii,
     inf = jnp.asarray(jnp.inf, dist_f.dtype)
     dist_f = jnp.where(prob.field_enabled, dist_f, inf)
 
+    # min-select across fields without gathers (TPU: reductions and an
+    # iota==argmin one-hot stay on the VPU; take_along_axis would lower
+    # to a serialized gather)
     best = jnp.argmin(dist_f, axis=-1)                          # (m, S)
-    dist = jnp.take_along_axis(dist_f, best[..., None], axis=-1)[..., 0]
+    onehot_f = (best[..., None] ==
+                jnp.arange(dist_f.shape[-1])).astype(x.dtype)   # (m, S, F)
+    dist = jnp.min(dist_f, axis=-1)
     has_field = jnp.isfinite(dist)
     dist = jnp.where(has_field, dist, 0.0)
 
@@ -167,11 +172,12 @@ def obstacle_cost_grad(spec: ChompSpec, fields: FieldStack, radii,
     if not want_grad:
         return jnp.sum(cost_sphere), None, cost_sphere
 
-    # gradient of best field, rotated to world (orcdchomp_mod.cpp:1207-1216)
-    g_grad = jnp.take_along_axis(
-        grad_f, best[..., None, None], axis=-2)[..., 0, :]       # (m, S, 3)
-    pose_best = jnp.take(prob.pose_world_gsdf, best, axis=0)     # (m, S, 7)
-    w_grad = qt.pose_rotate_vec(pose_best, g_grad)
+    # gradient of best field, rotated to world (orcdchomp_mod.cpp:1207-1216);
+    # grad_f is finite everywhere (0 where bad) so the one-hot contraction
+    # is safe, and the rotation is applied per field *before* the select
+    # so no (m,S)-indexed pose gather is needed
+    w_grad_f = qt.pose_rotate_vec(prob.pose_world_gsdf, grad_f)  # (m, S, F, 3)
+    w_grad = jnp.einsum("msfi,msf->msi", w_grad_f, onehot_f)
 
     # cost-slope scaling (orcdchomp_mod.cpp:1218-1223)
     slope = jnp.where(d < 0.0, -1.0, jnp.where(d < eps, d / eps - 1.0, 0.0))

@@ -162,6 +162,51 @@ def pad_stack_grids(grids: list[Grid3D]):
     return jnp.asarray(data), jnp.asarray(shapes), jnp.asarray(lengths)
 
 
+# Cells threshold for the one-hot-matmul lookup path: per-query work is
+# O(cells), so very large grid stacks fall back to gathers.  Up to this
+# size the MXU contraction is far faster than XLA's TPU gather lowering
+# (which serializes element gathers; measured 6.7x on the WAM7 bench
+# shape, and the gap grows with query count).
+ONEHOT_MAX_CELLS = 262144
+
+# Finite stand-in for +inf inside the matmul path: inf would turn the
+# one-hot dot into 0*inf = NaN.  Half of it is still far beyond any real
+# signed distance, and BIG*1.0 survives f32 rounding exactly.
+_BIG = jnp.float32(1e30)
+
+
+def _lookup_onehot(flat, idx, strides, dtype):
+    """values[..., 7] = flat at [idx, idx±sx, idx±sy, idx±sz] via a
+    one-hot × shifted-flats matmul (TPU: MXU contraction instead of a
+    serialized gather; the one-hot tile is fused, never HBM-resident).
+
+    Column order: center, x+1, x-1, y+1, y-1, z+1, z-1.
+    """
+    sx, sy, sz = strides
+    flat = jnp.where(jnp.isinf(flat), _BIG.astype(flat.dtype), flat)
+    # roll(-s)[i] = flat[i+s]; wrapped rows are never selected because
+    # edge cells force the inward neighbor (use_next flips at borders)
+    fmat = jnp.stack([flat,
+                      jnp.roll(flat, -sx), jnp.roll(flat, sx),
+                      jnp.roll(flat, -sy), jnp.roll(flat, sy),
+                      jnp.roll(flat, -sz), jnp.roll(flat, sz)], axis=-1)
+    shape = idx.shape
+    qi = idx.reshape(-1)
+    cells = flat.shape[0]
+    w = (qi[:, None] == jnp.arange(cells, dtype=jnp.int32)[None, :])
+    vals = jnp.dot(w.astype(dtype), fmat.astype(dtype),
+                   preferred_element_type=dtype)
+    return vals.reshape(shape + (7,))
+
+
+def _lookup_gather(flat, idx, strides, dtype):
+    """Same contract as :func:`_lookup_onehot` via plain gathers (exact
+    +inf propagation; used for very large grids and on CPU)."""
+    sx, sy, sz = strides
+    cols = [idx, idx + sx, idx - sx, idx + sy, idx - sy, idx + sz, idx - sz]
+    return jnp.stack([jnp.take(flat, c, mode="clip") for c in cols], axis=-1)
+
+
 def multigrid_interp_grad(data, sizes, lengths, p):
     """Interp + grad across F padded grids at per-field points.
 
@@ -187,19 +232,22 @@ def multigrid_interp_grad(data, sizes, lengths, p):
     f, mx, my, mz = data.shape
     flat = data.reshape(-1)
     fidx = jnp.arange(f, dtype=jnp.int32)
+    idx = ((fidx * mx + sub[..., 0]) * my + sub[..., 1]) * mz + sub[..., 2]
+    strides = (my * mz, mz, 1)
 
-    def flat_idx(s):
-        return ((fidx * mx + s[..., 0]) * my + s[..., 1]) * mz + s[..., 2]
+    lookup = (_lookup_onehot if flat.shape[0] <= ONEHOT_MAX_CELLS
+              else _lookup_gather)
+    vals = lookup(flat, idx, strides, p.dtype)   # (..., F, 7)
 
-    v0 = jnp.take(flat, flat_idx(sub), mode="clip")
-    offs = jnp.where(use_next, 1, -1)
+    big = jnp.asarray(_BIG / 2, p.dtype)
+    v0 = vals[..., 0]
+    any_inf = v0 >= big
     grads = []
-    any_inf = jnp.isinf(v0)
     for axis in range(3):
-        nb = sub.at[..., axis].add(offs[..., axis])
-        vn = jnp.take(flat, flat_idx(nb), mode="clip")
-        any_inf = any_inf | jnp.isinf(vn)
-        diff = jnp.where(use_next[..., axis], vn - v0, v0 - vn)
+        un = use_next[..., axis]
+        vn = jnp.where(un, vals[..., 1 + 2 * axis], vals[..., 2 + 2 * axis])
+        any_inf = any_inf | (vn >= big)
+        diff = jnp.where(un, vn - v0, v0 - vn)
         grads.append(diff * sizes_f[..., axis] / lengths[..., axis])
     grad = jnp.stack(grads, axis=-1)
 
