@@ -132,7 +132,11 @@ def obstacle_cost_grad(spec: ChompSpec, fields: FieldStack, radii,
     """SDF obstacle cost + config-space gradient.
 
     radii: (S_act,) active sphere radii.
-    Returns (cost (), grad (m, n) or None, cost_per_sphere (m, S)).
+    Returns (cost (), wgrad (m, S, 3) or None, cost_per_sphere (m, S)).
+    ``wgrad`` is the per-sphere *workspace* gradient with the ‖ẋ‖ scale
+    already applied; the caller maps it through Jᵀ once, jointly with
+    the self-collision workspace gradient, so the (m,S,3,n) Jacobian is
+    contracted a single time (orcdchomp_mod.cpp:1243-1245 semantics).
     cost_per_sphere carries the obstacle-only per-sphere cost used by
     the curvature correction (orcdchomp_mod.cpp:1241 scales by the
     sphere cost accumulated *before* self-collision terms).
@@ -199,9 +203,9 @@ def obstacle_cost_grad(spec: ChompSpec, fields: FieldStack, radii,
         jnp.where(safe, 1.0 / jnp.where(safe, v2, 1.0), 0.0)[..., None]
     x_grad = x_grad - cost_sphere[..., None] * curv
 
-    # map through Jᵀ scaled by speed (orcdchomp_mod.cpp:1243-1245)
-    grad = jnp.einsum("msi,msin,ms->mn", x_grad, kin.jac, vnorm)
-    return jnp.sum(cost_sphere), grad, cost_sphere
+    # speed scale of the Jᵀ map (orcdchomp_mod.cpp:1243-1245), applied
+    # here; the Jacobian contraction happens jointly in total_cost_grad
+    return jnp.sum(cost_sphere), x_grad * vnorm[..., None], cost_sphere
 
 
 def self_collision_cost_grad(spec: ChompSpec, same_link_mask, radii_act,
@@ -257,11 +261,11 @@ def self_collision_cost_grad(spec: ChompSpec, same_link_mask, radii_act,
     g = g - proj[..., None] * vel[:, :, None, :]
 
     # J2 = J_i − J_j mapped without materializing pair Jacobians:
-    #   Σ_ij (J_i − J_j)ᵀ g_ij = Σ_s J_sᵀ (Σ_j g_sj − Σ_i g_is[active])
+    #   Σ_ij (J_i − J_j)ᵀ g_ij = Σ_s J_sᵀ (Σ_j g_sj − Σ_i g_is[active]);
+    # returned as a workspace gradient for the caller's joint Jᵀ map
     s_act = x_i.shape[1]
     net = jnp.sum(g, axis=2) - jnp.sum(g[:, :, :s_act, :], axis=1)
-    grad = jnp.einsum("msi,msin->mn", net, kin.jac)
-    return cost, grad, cost_pair
+    return cost, net, cost_pair
 
 
 def total_cost_grad(spec: ChompSpec, fk, fields: FieldStack,
@@ -273,13 +277,15 @@ def total_cost_grad(spec: ChompSpec, fk, fields: FieldStack,
     are averaged over moving points (chomp.c:489-492).
     """
     kin = trajectory_kinematics(spec, fk, prob.traj, prob.robot_pose)
-    c_obs, g_obs, _ = obstacle_cost_grad(
+    c_obs, w_obs, _ = obstacle_cost_grad(
         spec, fields, radii_act, prob, kin, want_grad)
     out_self = self_collision_cost_grad(
         spec, same_link_mask, radii_act, radii_all, prob, kin, want_grad)
-    c_self, g_self = out_self[0], out_self[1]
+    c_self, w_self = out_self[0], out_self[1]
     cost = (c_obs + c_self) / spec.m
     if not want_grad:
         return cost, None, kin
-    G = (g_obs + g_self) / spec.m
+    # single joint Jᵀ map for both workspace gradients — the (m,S,3,n)
+    # Jacobian is the largest per-iteration tensor; contract it once
+    G = jnp.einsum("msi,msin->mn", w_obs + w_self, kin.jac) / spec.m
     return cost, G, kin

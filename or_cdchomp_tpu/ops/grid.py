@@ -207,7 +207,18 @@ def _lookup_gather(flat, idx, strides, dtype):
     return jnp.stack([jnp.take(flat, c, mode="clip") for c in cols], axis=-1)
 
 
-def multigrid_interp_grad(data, sizes, lengths, p):
+def _pick_method(cells):
+    """Lookup backend: the one-hot MXU contraction (XLA fuses the
+    compare into the dot — measured fastest on v5e at WAM7 bench
+    shapes, beating the Pallas axis-factored kernel whose Mosaic
+    lowering of per-query masked selects runs ~2-3x slower), gathers
+    for huge grids.  method="pallas" stays available explicitly."""
+    if cells > ONEHOT_MAX_CELLS:
+        return "gather"
+    return "onehot"
+
+
+def multigrid_interp_grad(data, sizes, lengths, p, method="auto"):
     """Interp + grad across F padded grids at per-field points.
 
     Args:
@@ -215,14 +226,15 @@ def multigrid_interp_grad(data, sizes, lengths, p):
       sizes: (F, 3) int32 true sizes.
       lengths: (F, 3) side lengths.
       p: (..., F, 3) per-field query points (already in each grid frame).
+      method: "auto" | "pallas" | "onehot" | "gather" lookup backend
+        (all numerically identical up to inf-vs-_BIG representation).
 
     Returns (value (..., F), grad (..., F, 3), in_bounds (..., F)).
     """
     sizes_f = sizes.astype(p.dtype)
     x = p / lengths
     in_bounds = jnp.all((x >= 0.0) & (x <= 1.0), axis=-1)
-    sub = jnp.floor(x * sizes_f).astype(jnp.int32)
-    sub = jnp.clip(sub, 0, sizes - 1)
+    sub = jnp.clip(jnp.floor(x * sizes_f).astype(jnp.int32), 0, sizes - 1)
 
     center = (sub.astype(p.dtype) + 0.5) / sizes_f * lengths
     use_next = p >= center
@@ -230,22 +242,45 @@ def multigrid_interp_grad(data, sizes, lengths, p):
     use_next = jnp.where(sub == sizes - 1, False, use_next)
 
     f, mx, my, mz = data.shape
-    flat = data.reshape(-1)
-    fidx = jnp.arange(f, dtype=jnp.int32)
-    idx = ((fidx * mx + sub[..., 0]) * my + sub[..., 1]) * mz + sub[..., 2]
-    strides = (my * mz, mz, 1)
-
-    lookup = (_lookup_onehot if flat.shape[0] <= ONEHOT_MAX_CELLS
-              else _lookup_gather)
-    vals = lookup(flat, idx, strides, p.dtype)   # (..., F, 7)
+    if method == "auto":
+        method = _pick_method(f * mx * my * mz)
 
     big = jnp.asarray(_BIG / 2, p.dtype)
-    v0 = vals[..., 0]
+    if method in ("pallas", "pallas_interpret"):
+        from or_cdchomp_tpu.ops.pallas_sdf import sdf_cell_lookup
+
+        # (..., F, 3) → (F, Q, 3) with Q = prod(leading dims)
+        lead = p.shape[:-2]
+        qn = int(np.prod(lead)) if lead else 1
+        mv = list(range(p.ndim))
+        subq = jnp.moveaxis(sub, -2, 0).reshape(f, qn, 3)
+        del mv
+        nbr = sub + jnp.where(use_next, 1, -1)  # in-range: edges forced inward
+        nbrq = jnp.moveaxis(nbr, -2, 0).reshape(f, qn, 3)
+        fin = jnp.where(jnp.isinf(data), _BIG.astype(data.dtype), data)
+        vals4 = sdf_cell_lookup(fin, subq, nbrq,
+                                interpret=(method == "pallas_interpret"))
+        # (F, Q) each → (..., F)
+        v0, *vns = (jnp.moveaxis(v.reshape((f,) + lead), 0, -1)
+                    for v in vals4)
+    else:
+        flat = data.reshape(-1)
+        fidx = jnp.arange(f, dtype=jnp.int32)
+        idx = ((fidx * mx + sub[..., 0]) * my + sub[..., 1]) * mz \
+            + sub[..., 2]
+        strides = (my * mz, mz, 1)
+        lookup = _lookup_onehot if method == "onehot" else _lookup_gather
+        vals = lookup(flat, idx, strides, p.dtype)   # (..., F, 7)
+        v0 = vals[..., 0]
+        vns = [jnp.where(use_next[..., a],
+                         vals[..., 1 + 2 * a], vals[..., 2 + 2 * a])
+               for a in range(3)]
+
     any_inf = v0 >= big
     grads = []
     for axis in range(3):
         un = use_next[..., axis]
-        vn = jnp.where(un, vals[..., 1 + 2 * axis], vals[..., 2 + 2 * axis])
+        vn = vns[axis]
         any_inf = any_inf | (vn >= big)
         diff = jnp.where(un, vn - v0, v0 - vn)
         grads.append(diff * sizes_f[..., axis] / lengths[..., axis])
