@@ -132,10 +132,18 @@ def send_command(mod, text: str) -> str:
             "epsilon": float, "epsilon_self": float,
             "obs_factor": float, "obs_factor_self": float,
             "no_report_cost": "flag", "dat_filename": str,
+            "start_cost": str,
             # parsed+validated but cost-dead in the reference too
             # (orcdchomp_mod.cpp:2036-2078, comment at 1323)
             "ee_force": _floats, "ee_torque_weights": _floats,
         })
+        if "start_cost" in kw:
+            # the reference smuggles an in-process function pointer as a
+            # "%p" string (orcdchomp_mod.cpp:1998-2001) — meaningless
+            # over a real wire; pass a callable to CHOMPModule.create
+            raise ValueError(
+                "start_cost is an in-process extension point; pass a "
+                "callable to CHOMPModule.create directly")
         if "lambda" in kw:
             kw["lambda_"] = kw.pop("lambda")
         if "starttraj" in kw:
