@@ -449,10 +449,13 @@ class CHOMPModule:
         kw = dict(sizes=tuple(int(s) for s in sizes),
                   cube_extent=float(cube_extent))
         if int(np.prod(sizes)) > _NATIVE_EDT_CELLS:
-            # device voxelization + exact native host EDT for huge grids
-            from or_cdchomp_tpu.native import signed_edt_native
-            occ = np.asarray(_occupancy_jit(*args, **kw))
-            data = jnp.asarray(signed_edt_native(occ, lengths), jnp.float32)
+            # full native host pipeline for huge grids: multithreaded
+            # voxelize → exterior flood → exact O(n)-per-line EDT (the
+            # in-graph cells×primitives broadcast would blow HBM here)
+            from or_cdchomp_tpu.native import build_sdf_native
+            data = jnp.asarray(build_sdf_native(
+                scenes, poses, pose_world_gsdf, kw["sizes"], lengths,
+                kw["cube_extent"]), jnp.float32)
         else:
             data = _sdf_build_jit(*args, **kw)
         return Grid3D(data=data, lengths=jnp.asarray(lengths, jnp.float32))

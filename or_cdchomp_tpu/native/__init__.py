@@ -47,6 +47,21 @@ def _load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_double)]
+    lib.cdx_voxelize.restype = ctypes.c_int
+    lib.cdx_voxelize.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,           # sizes
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double,         # lengths, e
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),          # boxes
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),          # spheres
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),          # cylinders
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.cdx_flood_exterior.restype = ctypes.c_int
+    lib.cdx_flood_exterior.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
     lib.cdx_grid_read.restype = ctypes.c_int
     lib.cdx_grid_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                   ctypes.c_int64]
@@ -111,6 +126,112 @@ def signed_edt_native(occupied, lengths):
     if rc != 0:
         raise RuntimeError(f"cdx_signed_edt failed: {rc}")
     return out
+
+
+def _dp(a):
+    return np.ascontiguousarray(a, dtype=np.float64).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_double))
+
+
+def voxelize_native(scenes, scene_poses, pose_world_gsdf, sizes, lengths,
+                    cube_extent, n_threads=0):
+    """Multithreaded host voxelization of analytic scenes.
+
+    Same semantics as the device path (ops/voxelize.py:voxelize_scene
+    per scene, OR-reduced): exact OBB SAT, exact sphere-vs-cube,
+    conservative cylinder.  ``scenes`` are Scene pytrees with primitive
+    poses in each scene's frame; ``scene_poses`` are the scenes' world
+    poses; the grid frame is ``pose_world_gsdf``.  Returns uint8
+    occupancy (1 = hit).  Falls back to the JAX path without the
+    native library.
+    """
+    from or_cdchomp_tpu.utils import np_pose
+
+    sizes = tuple(int(s) for s in sizes)
+    lengths64 = np.ascontiguousarray(lengths, dtype=np.float64)
+    lib = _load()
+    if lib is None:
+        import jax.numpy as jnp
+
+        from or_cdchomp_tpu.ops.grid import Grid3D
+        from or_cdchomp_tpu.ops.quat import pose_apply, pose_invert
+        from or_cdchomp_tpu.ops.voxelize import voxelize_scene
+
+        grid = Grid3D.create(sizes, lengths64)
+        centers_w = pose_apply(jnp.asarray(pose_world_gsdf, jnp.float64),
+                               grid.all_centers())
+        occ = np.zeros(sizes, dtype=bool)
+        for sc, pose in zip(scenes, scene_poses):
+            local = pose_apply(jnp.asarray(np_pose.invert(pose)), centers_w)
+            occ |= np.asarray(voxelize_scene(sc, local, cube_extent))
+        return occ.astype(np.uint8)
+
+    # transform every primitive into the grid frame on the host
+    gsdf_from_world = np_pose.invert(np.asarray(pose_world_gsdf,
+                                                dtype=np.float64))
+    box_pose, box_half = [], []
+    sph_c, sph_r = [], []
+    cyl_pose, cyl_r, cyl_h = [], [], []
+    for sc, pose in zip(scenes, scene_poses):
+        g_from_scene = np_pose.compose(gsdf_from_world,
+                                       np.asarray(pose, dtype=np.float64))
+        for i in range(np.asarray(sc.box_pose).shape[0]):
+            box_pose.append(np_pose.compose(
+                g_from_scene, np.asarray(sc.box_pose, np.float64)[i]))
+            box_half.append(np.asarray(sc.box_half, np.float64)[i])
+        for i in range(np.asarray(sc.sphere_center).shape[0]):
+            sph_c.append(np_pose.apply(
+                g_from_scene, np.asarray(sc.sphere_center, np.float64)[i]))
+            sph_r.append(float(np.asarray(sc.sphere_radius)[i]))
+        for i in range(np.asarray(sc.cyl_pose).shape[0]):
+            cyl_pose.append(np_pose.compose(
+                g_from_scene, np.asarray(sc.cyl_pose, np.float64)[i]))
+            cyl_r.append(float(np.asarray(sc.cyl_radius)[i]))
+            cyl_h.append(float(np.asarray(sc.cyl_half)[i]))
+
+    occ = np.zeros(sizes, dtype=np.uint8)
+    rc = lib.cdx_voxelize(
+        sizes[0], sizes[1], sizes[2], _dp(lengths64), float(cube_extent),
+        len(box_half), _dp(np.asarray(box_pose).reshape(-1, 7)),
+        _dp(np.asarray(box_half).reshape(-1, 3)),
+        len(sph_r), _dp(np.asarray(sph_c).reshape(-1, 3)),
+        _dp(np.asarray(sph_r)),
+        len(cyl_r), _dp(np.asarray(cyl_pose).reshape(-1, 7)),
+        _dp(np.asarray(cyl_r)), _dp(np.asarray(cyl_h)),
+        int(n_threads), occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"cdx_voxelize failed: {rc}")
+    return occ
+
+
+def flood_exterior_native(occ):
+    """Exterior flood fill: free cells unreachable from the corner are
+    reclassified as obstacle (orcdchomp_mod.cpp:540-548).  In-place on
+    a uint8 array; returns it.  Falls back to the JAX dilation fill."""
+    lib = _load()
+    occ = np.ascontiguousarray(occ, dtype=np.uint8)
+    if lib is None:
+        from or_cdchomp_tpu.ops.flood import exterior_free_mask
+        return np.asarray(exterior_free_mask(occ.astype(bool))
+                          ).astype(np.uint8)
+    nx, ny, nz = occ.shape
+    rc = lib.cdx_flood_exterior(
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nx, ny, nz)
+    if rc != 0:
+        raise RuntimeError(f"cdx_flood_exterior failed: {rc}")
+    return occ
+
+
+def build_sdf_native(scenes, scene_poses, pose_world_gsdf, sizes, lengths,
+                     cube_extent, n_threads=0):
+    """Full host-side SDF pipeline: voxelize → exterior flood → signed
+    EDT, all native and multithreaded where the library is available.
+    Returns float64 (nx, ny, nz).  This is the large-grid path where
+    the in-graph cells×primitives broadcast would blow device memory."""
+    occ = voxelize_native(scenes, scene_poses, pose_world_gsdf, sizes,
+                          lengths, cube_extent, n_threads)
+    occ = flood_exterior_native(occ)
+    return signed_edt_native(occ, lengths)
 
 
 def grid_cache_read(path: str, shape, dtype=np.float64):

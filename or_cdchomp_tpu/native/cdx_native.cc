@@ -25,6 +25,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -181,6 +182,195 @@ int cdx_signed_edt(const uint8_t* occ, double* out, int64_t nx, int64_t ny,
   for (int64_t i = 0; i < ncell; i++) {
     out[i] = std::sqrt(d_obs[i]) - std::sqrt(d_free[i]);
   }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// analytic voxelizer (probe-cube replacement, orcdchomp_mod.cpp:495-525)
+// ---------------------------------------------------------------------------
+//
+// Host-parallel counterpart of ops/voxelize.py:voxelize_scene with the
+// same semantics: exact 15-axis SAT for oriented boxes, exact
+// closest-point test for spheres, conservative circumscribed-sphere
+// test for cylinders.  All primitives are given in the *grid* frame
+// (pose7 = [x y z qx qy qz qw]); cell centers are
+// (sub+0.5)/size*length.  Used for very large grids where the in-graph
+// device voxelization would blow HBM (cells x primitives broadcast).
+
+static void quat_to_R3(const double* q, double R[9]) {
+  double x = q[0], y = q[1], z = q[2], w = q[3];
+  R[0] = 1 - 2 * (y * y + z * z);
+  R[1] = 2 * (x * y - z * w);
+  R[2] = 2 * (x * z + y * w);
+  R[3] = 2 * (x * y + z * w);
+  R[4] = 1 - 2 * (x * x + z * z);
+  R[5] = 2 * (y * z - x * w);
+  R[6] = 2 * (x * z - y * w);
+  R[7] = 2 * (y * z + x * w);
+  R[8] = 1 - 2 * (x * x + y * y);
+}
+
+namespace {
+struct BoxPre {
+  double c[3];
+  double R[9];     // box->grid rotation, row-major
+  double absR[9];  // |R| + eps
+  double h[3];     // half extents
+};
+struct CylPre {
+  double c[3];
+  double R[9];  // cyl->grid
+  double r, hh;
+};
+}  // namespace
+
+// Exact SAT: axis-aligned cube (center p, half extent e) vs oriented box.
+static bool cube_obb_overlap(const double p[3], double e, const BoxPre& b) {
+  double t[3] = {b.c[0] - p[0], b.c[1] - p[1], b.c[2] - p[2]};
+  // grid axes
+  for (int i = 0; i < 3; i++) {
+    double ra = e + b.h[0] * b.absR[i * 3] + b.h[1] * b.absR[i * 3 + 1] +
+                b.h[2] * b.absR[i * 3 + 2];
+    if (std::fabs(t[i]) > ra) return false;
+  }
+  // box axes (columns of R)
+  for (int j = 0; j < 3; j++) {
+    double tl = t[0] * b.R[j] + t[1] * b.R[3 + j] + t[2] * b.R[6 + j];
+    double ra = e * (b.absR[j] + b.absR[3 + j] + b.absR[6 + j]);
+    if (std::fabs(tl) > b.h[j] + ra) return false;
+  }
+  // cross axes e_i x R_:,j
+  for (int i = 0; i < 3; i++) {
+    int i1 = (i + 1) % 3, i2 = (i + 2) % 3;
+    for (int j = 0; j < 3; j++) {
+      int j1 = (j + 1) % 3, j2 = (j + 2) % 3;
+      double tl = t[i2] * b.R[i1 * 3 + j] - t[i1] * b.R[i2 * 3 + j];
+      double ra = e * (b.absR[i1 * 3 + j] + b.absR[i2 * 3 + j]);
+      double rb = b.h[j1] * b.absR[i * 3 + j2] + b.h[j2] * b.absR[i * 3 + j1];
+      if (std::fabs(tl) > ra + rb) return false;
+    }
+  }
+  return true;
+}
+
+int cdx_voxelize(int64_t nx, int64_t ny, int64_t nz, const double* lengths,
+                 double cube_extent, int64_t n_box, const double* box_pose,
+                 const double* box_half, int64_t n_sph, const double* sph_c,
+                 const double* sph_r, int64_t n_cyl, const double* cyl_pose,
+                 const double* cyl_r, const double* cyl_h, int n_threads,
+                 uint8_t* occ) {
+  std::vector<BoxPre> boxes(static_cast<size_t>(n_box));
+  for (int64_t i = 0; i < n_box; i++) {
+    BoxPre& b = boxes[i];
+    for (int k = 0; k < 3; k++) b.c[k] = box_pose[i * 7 + k];
+    quat_to_R3(box_pose + i * 7 + 3, b.R);
+    for (int k = 0; k < 9; k++) b.absR[k] = std::fabs(b.R[k]) + 1e-7;
+    for (int k = 0; k < 3; k++) b.h[k] = box_half[i * 3 + k];
+  }
+  std::vector<CylPre> cyls(static_cast<size_t>(n_cyl));
+  for (int64_t i = 0; i < n_cyl; i++) {
+    CylPre& c = cyls[i];
+    for (int k = 0; k < 3; k++) c.c[k] = cyl_pose[i * 7 + k];
+    quat_to_R3(cyl_pose + i * 7 + 3, c.R);
+    c.r = cyl_r[i];
+    c.hh = cyl_h[i];
+  }
+  const double ex = lengths[0] / nx, ey = lengths[1] / ny,
+               ez = lengths[2] / nz;
+  const double e = cube_extent;
+  const double e3 = e * std::sqrt(3.0);
+
+  auto work = [&](int64_t x0, int64_t x1) {
+    for (int64_t ix = x0; ix < x1; ix++) {
+      double px = (ix + 0.5) * ex;
+      for (int64_t iy = 0; iy < ny; iy++) {
+        double py = (iy + 0.5) * ey;
+        uint8_t* row = occ + (ix * ny + iy) * nz;
+        for (int64_t iz = 0; iz < nz; iz++) {
+          double p[3] = {px, py, (iz + 0.5) * ez};
+          bool hit = false;
+          for (int64_t s = 0; !hit && s < n_sph; s++) {
+            double d2 = 0.0;
+            for (int k = 0; k < 3; k++) {
+              double d = sph_c[s * 3 + k] - p[k];
+              double cl = d < -e ? -e : (d > e ? e : d);
+              double dd = d - cl;
+              d2 += dd * dd;
+            }
+            hit = d2 <= sph_r[s] * sph_r[s];
+          }
+          for (size_t bi = 0; !hit && bi < boxes.size(); bi++) {
+            hit = cube_obb_overlap(p, e, boxes[bi]);
+          }
+          for (size_t ci = 0; !hit && ci < cyls.size(); ci++) {
+            const CylPre& c = cyls[ci];
+            double d[3] = {p[0] - c.c[0], p[1] - c.c[1], p[2] - c.c[2]};
+            // local = R^T d  (R is cyl->grid)
+            double lx = c.R[0] * d[0] + c.R[3] * d[1] + c.R[6] * d[2];
+            double ly = c.R[1] * d[0] + c.R[4] * d[1] + c.R[7] * d[2];
+            double lz = c.R[2] * d[0] + c.R[5] * d[1] + c.R[8] * d[2];
+            double dr = std::sqrt(lx * lx + ly * ly) - c.r;
+            double dz = std::fabs(lz) - c.hh;
+            double qx = dr > 0 ? dr : 0, qy = dz > 0 ? dz : 0;
+            double outside = std::sqrt(qx * qx + qy * qy);
+            double inside = std::fmax(dr, dz);
+            double sd = outside + (inside < 0 ? inside : 0);
+            hit = sd <= e3;
+          }
+          row[iz] |= hit ? 1 : 0;
+        }
+      }
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads
+                         : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > nx) nt = static_cast<int>(nx);
+  std::vector<std::thread> threads;
+  int64_t chunk = (nx + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t x0 = t * chunk;
+    int64_t x1 = x0 + chunk < nx ? x0 + chunk : nx;
+    if (x0 >= x1) break;
+    threads.emplace_back(work, x0, x1);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// exterior flood fill (grid_flood.c:30-111 + orcdchomp_mod.cpp:540-548)
+// ---------------------------------------------------------------------------
+
+// In place: occ (1 = obstacle) becomes the final obstacle mask where
+// free cells NOT 6-connected-reachable from cell (0,0,0) are
+// reclassified as obstacle interior.
+int cdx_flood_exterior(uint8_t* occ, int64_t nx, int64_t ny, int64_t nz) {
+  int64_t ncell = nx * ny * nz;
+  std::vector<uint8_t> reach(static_cast<size_t>(ncell), 0);
+  if (!occ[0]) {
+    std::vector<int64_t> stack;
+    stack.push_back(0);
+    reach[0] = 1;
+    const int64_t sx = ny * nz, sy = nz;
+    while (!stack.empty()) {
+      int64_t idx = stack.back();
+      stack.pop_back();
+      int64_t ix = idx / sx, iy = (idx / sy) % ny, iz = idx % nz;
+      const int64_t nb[6] = {idx - sx, idx + sx, idx - sy,
+                             idx + sy, idx - 1, idx + 1};
+      const bool ok[6] = {ix > 0, ix < nx - 1, iy > 0,
+                          iy < ny - 1, iz > 0, iz < nz - 1};
+      for (int k = 0; k < 6; k++) {
+        if (ok[k] && !reach[nb[k]] && !occ[nb[k]]) {
+          reach[nb[k]] = 1;
+          stack.push_back(nb[k]);
+        }
+      }
+    }
+  }
+  for (int64_t i = 0; i < ncell; i++) occ[i] = reach[i] ? 0 : 1;
   return 0;
 }
 
