@@ -368,20 +368,22 @@ class CHOMPModule:
             return self.robots[b.grabbed_by].grabbed_body_pose(b.name)
         return b.pose
 
-    def _world_occupancy_scene(self, exclude_name):
-        """(scenes, poses) of every *enabled* body except the named one
-        (the reference's env CheckCollision sees everything enabled;
-        the probe cube is the moving body).  Grabbed bodies are ordinary
-        enabled kinbodies in OpenRAVE — they are seen at their *carried*
-        world pose, not wherever they were grabbed."""
+    def _world_occupancy_scene(self, _name_unused=None):
+        """(scenes, poses) of every *enabled* body — the reference's env
+        CheckCollision sees everything enabled, *including* the kinbody
+        the field is being built around (the named body only anchors the
+        grid; test_wam7.py names the *disabled* robot so the field
+        covers all obstacles).  Grabbed bodies are ordinary enabled
+        kinbodies in OpenRAVE — seen at their *carried* world pose, not
+        wherever they were grabbed."""
         scenes, poses = [], []
         for b in self.bodies.values():
-            if b.name == exclude_name or not b.enabled:
+            if not b.enabled:
                 continue
             scenes.append(b.scene)
             poses.append(self._body_world_pose(b))
         for r in self.robots.values():
-            if r.name == exclude_name or not r.enabled:
+            if not r.enabled:
                 continue
             x, rad = r.sphere_world()
             scenes.append(Scene.build(

@@ -46,10 +46,10 @@ def test_grab_appends_spheres_and_moves_with_link():
 
     # the grabbed body stays an ordinary enabled kinbody in the world
     # (OpenRAVE CheckCollision sees it) but at its *carried* pose
-    scenes, poses = mod._world_occupancy_scene("table")
-    assert len(scenes) == 2   # mug (carried) + robot spheres
+    scenes, poses = mod._world_occupancy_scene()
+    assert len(scenes) == 3   # table + mug (carried) + robot spheres
     np.testing.assert_allclose(
-        poses[0], r.grabbed_body_pose("mug"), atol=1e-6)
+        poses[1], r.grabbed_body_pose("mug"), atol=1e-6)
 
     r.release(mug)
     assert len(r.model.sphere_radius) == n0
@@ -109,9 +109,9 @@ def test_other_robots_grabs_stay_obstacles():
     mug = KinBody("mug", oc.Scene.build(spheres=[((0, 0, 0), 0.03)]))
     mod.add_kinbody(mug)
     rx.grab(mug, rx.model.link_names[-1])
-    # occupancy for an SDF around the table: mug still present
-    scenes, poses = mod._world_occupancy_scene("table")
-    assert len(scenes) == 3   # mug + two robots' sphere scenes
+    # occupancy for an SDF build: mug still present while held
+    scenes, poses = mod._world_occupancy_scene()
+    assert len(scenes) == 4   # table + mug + two robots' sphere scenes
 
 
 def test_grab_twice_raises():
