@@ -67,8 +67,10 @@ def main():
     model = model.with_spheres(parse_spheres_xml(SPHERES_XML))
 
     world = oc.CHOMPModule()
+    # the straight-line sweep grazes this pillar by ~2 cm; CHOMP bends
+    # the arm's elbow to clear it
     world.add_kinbody(KinBody("pillar", oc.Scene.build(
-        cylinders=[((0.75, 0.0, 0.1, 0, 0, 0, 1), 0.06, 0.12)])))
+        cylinders=[((0.95, -0.15, 0.1, 0, 0, 0, 1), 0.06, 0.12)])))
     world.add_robot(Robot("planar3", model,
                           q_active=np.array([0.4, 0.3, -0.2])))
 
@@ -85,11 +87,12 @@ def main():
           "…")
 
     raw = mod.runchomp(robot="planar3", adofgoal=[-0.8, 0.5, 0.4],
-                       n_iter=150, lambda_=60.0, obs_factor=600.0,
-                       n_points=31, no_collision_exception=True)
+                       n_iter=150, lambda_=50.0, obs_factor=500.0,
+                       n_points=61)  # collision check raises on failure
     traj = json.loads(raw)
     qs = np.asarray(traj["positions"])
-    print(f"planned {qs.shape[0]} waypoints over {traj['times'][-1]:.2f}s; "
+    print(f"planned {qs.shape[0]} collision-free waypoints over "
+          f"{traj['times'][-1]:.2f}s; "
           f"start {np.round(qs[0], 3).tolist()} → "
           f"goal {np.round(qs[-1], 3).tolist()}")
 

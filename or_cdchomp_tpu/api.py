@@ -184,6 +184,27 @@ class Robot:
         body.grabbed_by = None
         self._invalidate_fk()
 
+    def check_exclude_mask(self):
+        """(S, S) bool: sphere pairs the hard self-collision *check*
+        ignores — adjacent links plus pairs already overlapping at the
+        robot's reference configuration (OpenRAVE marks initially
+        colliding link pairs as adjacent, so its CheckSelfCollision
+        never reports them; e.g. the WAM forearm/wrist spheres overlap
+        by ~1 cm at zero).  Recomputed lazily when the model changes
+        (grab/release), using the configuration current at that time —
+        mirroring OpenRAVE's grabbed-body colliding-at-grab-time
+        filtering."""
+        n = len(self.model.sphere_radius)
+        cached = getattr(self, "_check_exclude", None)
+        if cached is not None and cached.shape[0] == n:
+            return cached
+        adj = self.model.sphere_adjacent_link()
+        x, rad = self.sphere_world()
+        dist = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
+        overlap = dist < (rad[:, None] + rad[None, :])
+        self._check_exclude = adj | overlap
+        return self._check_exclude
+
     def sphere_world(self, fk: Optional[CompiledFK] = None):
         """World (pos, radius) of all spheres at the current config."""
         fk = fk or self._fk()
@@ -858,7 +879,7 @@ class CHOMPModule:
             invs.append(jnp.asarray(
                 np_pose.invert(self._body_world_pose(b)), dtype=fk.dtype))
             names.append(b.name)
-        same = jnp.asarray(model.sphere_adjacent_link())
+        same = jnp.asarray(rn.robot.check_exclude_mask())
         env_hits, self_hit = _traj_collision_jit(
             tuple(scenes), tuple(invs), x, rad, same)
         collides = False
