@@ -101,7 +101,11 @@ def floating_everyn_tsr(dtype, n_points=51):
         Bw=np.array([[-10, 10], [-10, 10], [-10, 10],
                      [0, 0], [0, 0], [-np.pi, np.pi]]))
     basegoal = np.array([0.2, 0.1, 0.0, 0.0, 0.0, 0.0, 1.0])
+    # λ=200/obs=200: the TSR projection and obstacle gradient interact
+    # through A⁻¹ on 14 dims — smaller steps keep the whole perturbed
+    # batch convergent (CHOMP has no step-size control, same as the
+    # reference; λ=100/obs=500 diverges for a tail of problems)
     h = mod.create(robot="wam", adofgoal=GOAL, basegoal=basegoal,
-                   floating_base=True, lambda_=100.0, obs_factor=500.0,
+                   floating_base=True, lambda_=200.0, obs_factor=200.0,
                    n_points=n_points, everyn_tsr=tsr)
     return mod, mod.runs[h], np.concatenate([basegoal, GOAL])
