@@ -169,10 +169,21 @@ def pad_stack_grids(grids: list[Grid3D]):
 # shape, and the gap grows with query count).
 ONEHOT_MAX_CELLS = 262144
 
-# Finite stand-in for +inf inside the matmul path: inf would turn the
+# Finite stand-in for ±inf inside the matmul path: inf would turn the
 # one-hot dot into 0*inf = NaN.  Half of it is still far beyond any real
-# signed distance, and BIG*1.0 survives f32 rounding exactly.
+# signed distance, and BIG*1.0 survives f32 rounding exactly.  The
+# substitution preserves sign: −inf cells (all-occupied grids, where
+# the free-space EDT is empty) must stay detectable as infinite — every
+# backend then reports such queries as "field does not contain the
+# point" (+inf value, zero gradient), the HUGE_VAL convention of
+# grid.c:405-439 / orcdchomp_mod.cpp:1179-1182.
 _BIG = jnp.float32(1e30)
+
+
+def _definite(data):
+    """Replace ±inf cells by ±_BIG (sign-preserving, matmul-safe)."""
+    return jnp.where(jnp.isinf(data),
+                     jnp.sign(data) * _BIG.astype(data.dtype), data)
 
 
 def _lookup_onehot(flat, idx, strides, dtype):
@@ -183,7 +194,7 @@ def _lookup_onehot(flat, idx, strides, dtype):
     Column order: center, x+1, x-1, y+1, y-1, z+1, z-1.
     """
     sx, sy, sz = strides
-    flat = jnp.where(jnp.isinf(flat), _BIG.astype(flat.dtype), flat)
+    flat = _definite(flat)
     # roll(-s)[i] = flat[i+s]; wrapped rows are never selected because
     # edge cells force the inward neighbor (use_next flips at borders)
     fmat = jnp.stack([flat,
@@ -257,7 +268,7 @@ def multigrid_interp_grad(data, sizes, lengths, p, method="auto"):
         del mv
         nbr = sub + jnp.where(use_next, 1, -1)  # in-range: edges forced inward
         nbrq = jnp.moveaxis(nbr, -2, 0).reshape(f, qn, 3)
-        fin = jnp.where(jnp.isinf(data), _BIG.astype(data.dtype), data)
+        fin = _definite(data)
         vals4 = sdf_cell_lookup(fin, subq, nbrq,
                                 interpret=(method == "pallas_interpret"))
         # (F, Q) each → (..., F)
@@ -276,12 +287,14 @@ def multigrid_interp_grad(data, sizes, lengths, p, method="auto"):
                          vals[..., 1 + 2 * a], vals[..., 2 + 2 * a])
                for a in range(3)]
 
-    any_inf = v0 >= big
+    # ±inf detection across backends: gathers keep true inf, the
+    # matmul/pallas paths carry the sign-preserving ±_BIG stand-in
+    any_inf = jnp.abs(v0) >= big
     grads = []
     for axis in range(3):
         un = use_next[..., axis]
         vn = vns[axis]
-        any_inf = any_inf | (vn >= big)
+        any_inf = any_inf | (jnp.abs(vn) >= big)
         diff = jnp.where(un, vn - v0, v0 - vn)
         grads.append(diff * sizes_f[..., axis] / lengths[..., axis])
     grad = jnp.stack(grads, axis=-1)

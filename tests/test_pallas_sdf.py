@@ -56,6 +56,24 @@ def test_lookup_matches_onehot_and_gather(shape):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_all_occupied_field_not_contained_all_backends():
+    """An all-occupied grid has an empty free-space EDT → every cell is
+    −inf.  All backends must report such queries as "field does not
+    contain the point" (+inf value, zero gradient) rather than leaking
+    −inf (infinite obstacle cost) or +BIG (treated as far away)."""
+    g = Grid3D(data=jnp.full((4, 5, 3), -jnp.inf, dtype=jnp.float32),
+               lengths=jnp.asarray([0.4, 0.5, 0.3], dtype=jnp.float32))
+    data, sizes, lengths = pad_stack_grids([g])
+    p = jnp.asarray([[0.2, 0.25, 0.15], [0.05, 0.45, 0.29]],
+                    dtype=jnp.float32)[:, None, :]
+    for method in ("onehot", "gather", "pallas_interpret"):
+        v, gr, inb = multigrid_interp_grad(data, sizes, lengths, p,
+                                           method=method)
+        assert np.asarray(inb).all(), method
+        assert np.isposinf(np.asarray(v)).all(), method
+        np.testing.assert_array_equal(np.asarray(gr), 0.0, err_msg=method)
+
+
 def test_cell_lookup_raw():
     """sdf_cell_lookup returns exactly the addressed cells."""
     rng = np.random.default_rng(1)
