@@ -512,7 +512,7 @@ class CHOMPModule:
         out = {}
         for s in self.sdfs:
             body = self._get_body(s.kinbody_name)
-            pw = np_pose.compose(body.pose, s.pose)
+            pw = np_pose.compose(self._body_world_pose(body), s.pose)
             centers = np.asarray(s.grid.all_centers())
             mask = np.asarray(s.grid.data) <= 0.0
             pts = centers[mask]
@@ -659,7 +659,9 @@ class CHOMPModule:
         pw, pg = [], []
         for s in self.sdfs:
             body = self._get_body(s.kinbody_name)
-            p = np_pose.compose(body.pose, s.pose)
+            # world pose via _body_world_pose: a grabbed anchor body
+            # carries its field with the grabbing link
+            p = np_pose.compose(self._body_world_pose(body), s.pose)
             pw.append(p)
             pg.append(np_pose.invert(p))
         pw = np.asarray(pw).reshape(-1, 7)
