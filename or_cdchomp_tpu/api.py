@@ -272,6 +272,7 @@ class Run:
     n_points: int
     iteration: int = 0
     dat_filename: Optional[str] = None
+    no_report_cost: bool = False
     dat_rows: list = dataclasses.field(default_factory=list)
     start_time: float = dataclasses.field(default_factory=time.time)
 
@@ -760,7 +761,8 @@ class CHOMPModule:
         self._next_run += 1
         self.runs[handle] = Run(
             engine=engine, problem=problem, spec=spec, robot=r, fk=fk,
-            n_points=n_points, dat_filename=dat_filename)
+            n_points=n_points, dat_filename=dat_filename,
+            no_report_cost=bool(no_report_cost))
         return handle
 
     # ----- iterate --------------------------------------------------------
@@ -787,7 +789,10 @@ class CHOMPModule:
                            np.asarray(rn.problem.traj))
             rn.problem, costs = rn.engine.iterate(rn.problem, todo)
             costs = np.asarray(costs)
-            for k in range(todo):
+            # no_report_cost suppresses per-iteration reporting
+            # (documented at README.md:137; the reference fails to parse
+            # it — a latent bug we fix rather than replicate)
+            for k in range(0 if rn.no_report_cost else todo):
                 it = rn.iteration + k
                 if verbose:
                     print(f"iter:{it:2d} cost_total:{costs[k,0]:f} "

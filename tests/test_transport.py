@@ -98,3 +98,23 @@ def test_send_command_bad_arg(world):
     mod, r = world
     with pytest.raises(ValueError, match="not known"):
         mod.SendCommand("iterate bogus 1")
+
+
+def test_no_report_cost_suppresses_reporting(world):
+    """no_report_cost (documented README.md:137, unparseable in the
+    reference — fixed here) turns off per-iteration cost rows."""
+    mod, r = world
+    if not mod.sdfs:   # independent of test ordering
+        r.enabled = False
+        mod.SendCommand("computedistancefield kinbody table cube_extent 0.15")
+        r.enabled = True
+    goal = "'0.6 0.7 0.1 1.4 0.0 -0.3 0.0'"
+    h1 = mod.SendCommand(f"create robot wam adofgoal {goal} n_points 9 "
+                         "no_report_cost")
+    mod.SendCommand(f"iterate run {h1} n_iter 3")
+    assert mod.runs[h1].dat_rows == []
+    h2 = mod.SendCommand(f"create robot wam adofgoal {goal} n_points 9")
+    mod.SendCommand(f"iterate run {h2} n_iter 3")
+    assert len(mod.runs[h2].dat_rows) == 3
+    mod.SendCommand(f"destroy run {h1}")
+    mod.SendCommand(f"destroy run {h2}")
