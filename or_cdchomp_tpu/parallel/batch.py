@@ -97,10 +97,17 @@ def problem_batch_from_grid(problem: ChompProblem, starts, goals,
 
 
 class BatchSolver:
-    """Sharded batched solve driver for one ChompEngine."""
+    """Sharded batched solve driver for one ChompEngine.
+
+    ``chunk``: very large problem batches degrade XLA's fusion
+    scheduling inside the scan (measured on v5e: 2048 flat = 787
+    solves/s vs 1220 when processed as lax.map over 256-problem
+    chunks), so batches that are a multiple of ``chunk`` run chunked
+    on single-device meshes.  Set chunk=None to disable.
+    """
 
     def __init__(self, engine: ChompEngine, mesh: Optional[Mesh] = None,
-                 axis: str = "dp"):
+                 axis: str = "dp", chunk: Optional[int] = 256):
         self.engine = engine
         if mesh is None:
             devs = np.asarray(jax.devices())
@@ -108,6 +115,7 @@ class BatchSolver:
             axis = "dp"
         self.mesh = mesh
         self.axis = axis
+        self.chunk = chunk
         self._sharding = NamedSharding(mesh, P(axis))
         self._replicated = NamedSharding(mesh, P())
 
@@ -136,7 +144,18 @@ class BatchSolver:
         def one(p):
             return self.engine.iterate_nojit(p, n_iter)
 
-        probs, costs = jax.vmap(one)(probs)
+        P_ = int(jax.tree.leaves(probs)[0].shape[0])
+        ch = self.chunk
+        if (ch and P_ > ch and P_ % ch == 0
+                and int(np.prod(self.mesh.devices.shape)) == 1):
+            folded = jax.tree.map(
+                lambda x: x.reshape((P_ // ch, ch) + x.shape[1:]), probs)
+            probs, costs = jax.lax.map(jax.vmap(one), folded)
+            probs = jax.tree.map(
+                lambda x: x.reshape((P_,) + x.shape[2:]), probs)
+            costs = costs.reshape((P_, n_iter, 3))
+        else:
+            probs, costs = jax.vmap(one)(probs)
         return probs, jnp.moveaxis(costs, 1, 0)
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 3))

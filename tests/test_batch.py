@@ -85,3 +85,27 @@ def test_stack_problems(setup):
     mod, run, goal = setup
     probs = stack_problems([run.problem, run.problem])
     assert probs.traj.shape == (2,) + run.problem.traj.shape
+
+
+def test_chunked_iterate_matches_flat(setup):
+    """Large batches run as lax.map over chunks on single-device
+    meshes; results must equal the flat vmap bit-for-bit."""
+    import jax
+    from jax.sharding import Mesh
+
+    mod, run, goal = setup
+    engine = run.engine
+    rng = np.random.default_rng(3)
+    B = 12
+    starts = np.tile(np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]),
+                     (B, 1)) + 0.01 * rng.normal(size=(B, 7))
+    goals = np.tile(goal, (B, 1)) + 0.01 * rng.normal(size=(B, 7))
+    probs = problem_batch_from_grid(run.problem, starts, goals, engine)
+
+    dev = np.asarray(jax.devices()[:1])
+    flat = BatchSolver(engine, mesh=Mesh(dev, ("dp",)), chunk=None)
+    chunked = BatchSolver(engine, mesh=Mesh(dev, ("dp",)), chunk=4)
+    p1, c1 = flat.iterate(probs, 5)
+    p2, c2 = chunked.iterate(probs, 5)
+    np.testing.assert_array_equal(np.asarray(p1.traj), np.asarray(p2.traj))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
