@@ -107,6 +107,13 @@ class Robot:
         if self.q_active is None:
             self.q_active = np.zeros(self.model.n_dof)
         self.q_active = np.asarray(self.q_active, dtype=np.float64)
+        # reference configuration for self-collision-check exclusions:
+        # captured at construction (and re-captured at grab/release),
+        # never at whatever config the first collision check happens
+        # to run at — mirroring OpenRAVE's load-time adjacency
+        self._exclude_ref = (self.q_active.copy(), np.asarray(self.pose,
+                                                              np.float64).copy())
+        self._check_exclude = None
 
     def GetName(self):  # OpenRAVE-style accessor used by callers
         return self.name
@@ -162,6 +169,7 @@ class Robot:
         self.grabbed[body.name] = (link, into_link)
         body.grabbed_by = self.name
         self._invalidate_fk()
+        self._reset_exclude_ref()
 
     def grabbed_body_pose(self, body_name: str) -> np.ndarray:
         """Current world pose of a grabbed body (it rides the grabbing
@@ -183,27 +191,38 @@ class Robot:
         self._owner_tags = [owners[i] for i in keep]
         body.grabbed_by = None
         self._invalidate_fk()
+        self._reset_exclude_ref()
 
     def check_exclude_mask(self):
         """(S, S) bool: sphere pairs the hard self-collision *check*
         ignores — adjacent links plus pairs already overlapping at the
-        robot's reference configuration (OpenRAVE marks initially
+        robot's *reference* configuration (OpenRAVE marks initially
         colliding link pairs as adjacent, so its CheckSelfCollision
         never reports them; e.g. the WAM forearm/wrist spheres overlap
-        by ~1 cm at zero).  Recomputed lazily when the model changes
-        (grab/release), using the configuration current at that time —
-        mirroring OpenRAVE's grabbed-body colliding-at-grab-time
-        filtering."""
-        n = len(self.model.sphere_radius)
-        cached = getattr(self, "_check_exclude", None)
-        if cached is not None and cached.shape[0] == n:
-            return cached
+        by ~1 cm at zero).  The reference configuration is captured at
+        construction and re-captured when the sphere set changes
+        (grab/release) — never at whatever config the first collision
+        check runs at, so a robot momentarily sitting in a colliding
+        config cannot whitelist genuinely-colliding pairs."""
+        if self._check_exclude is not None:
+            return self._check_exclude
         adj = self.model.sphere_adjacent_link()
-        x, rad = self.sphere_world()
+        q_ref, pose_ref = self._exclude_ref
+        fk = self._fk()
+        x = np.asarray(fk.sphere_positions_jit(
+            jnp.asarray(q_ref, dtype=fk.dtype),
+            jnp.asarray(pose_ref, dtype=fk.dtype)))
+        rad = np.asarray(self.model.sphere_radius[fk.sphere_subset])
         dist = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
         overlap = dist < (rad[:, None] + rad[None, :])
         self._check_exclude = adj | overlap
         return self._check_exclude
+
+    def _reset_exclude_ref(self):
+        """Re-capture the exclusion reference config (sphere set changed)."""
+        self._exclude_ref = (self.q_active.copy(),
+                             np.asarray(self.pose, np.float64).copy())
+        self._check_exclude = None
 
     def sphere_world(self, fk: Optional[CompiledFK] = None):
         """World (pos, radius) of all spheres at the current config."""
@@ -463,7 +482,11 @@ class CHOMPModule:
 
     def _build_sdf_grid(self, name, body, grid_pose, sizes, lengths,
                         cube_extent):
-        pose_world_gsdf = np_pose.compose(body.pose, grid_pose)
+        # world frame via _body_world_pose: consistent with query-time
+        # composition (create/viewfields), so a field anchored to a
+        # currently-grabbed body samples occupancy at the carried pose
+        pose_world_gsdf = np_pose.compose(self._body_world_pose(body),
+                                          grid_pose)
         scenes, poses = self._world_occupancy_scene(name)
         inv_poses = tuple(jnp.asarray(np_pose.invert(p), jnp.float32)
                           for p in poses)
@@ -789,17 +812,22 @@ class CHOMPModule:
                            np.asarray(rn.problem.traj))
             rn.problem, costs = rn.engine.iterate(rn.problem, todo)
             costs = np.asarray(costs)
-            # no_report_cost suppresses per-iteration reporting
+            # no_report_cost suppresses per-iteration cost *reporting*
             # (documented at README.md:137; the reference fails to parse
-            # it — a latent bug we fix rather than replicate)
-            for k in range(0 if rn.no_report_cost else todo):
-                it = rn.iteration + k
-                if verbose:
-                    print(f"iter:{it:2d} cost_total:{costs[k,0]:f} "
-                          f"cost_obs:{costs[k,1]:f} cost_smooth:{costs[k,2]:f}")
-                rn.dat_rows.append(
-                    [it, time.time() - t0, costs[k, 0], costs[k, 1],
-                     costs[k, 2]])
+            # it — a latent bug we fix rather than replicate).  The .dat
+            # file rows are independent of it: the reference's fprintf
+            # to fp_dat is unconditional (orcdchomp_mod.cpp:2810-2818),
+            # so a dat_filename run always gets its rows.
+            if rn.dat_filename or not rn.no_report_cost:
+                for k in range(todo):
+                    it = rn.iteration + k
+                    if verbose and not rn.no_report_cost:
+                        print(f"iter:{it:2d} cost_total:{costs[k,0]:f} "
+                              f"cost_obs:{costs[k,1]:f} "
+                              f"cost_smooth:{costs[k,2]:f}")
+                    rn.dat_rows.append(
+                        [it, time.time() - t0, costs[k, 0], costs[k, 1],
+                         costs[k, 2]])
             done += todo
             rn.iteration += todo
             if max_time is not None and time.time() - t0 > max_time:

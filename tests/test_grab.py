@@ -126,6 +126,51 @@ def test_grab_twice_raises():
         pass
 
 
+def test_check_exclude_uses_reference_config():
+    """Overlap exclusions are computed at the construction-time
+    reference config, not at whatever config the first collision check
+    happens to run at (a colliding transient config must not whitelist
+    genuinely-colliding pairs)."""
+    q0 = np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0])
+    q1 = np.array([0.0, 2.0, 0.0, 3.0, 0.0, 1.5, 0.0])
+    mod, r = _setup()                     # constructed at q0
+    # masks computed at q0 vs q1 genuinely differ for these configs
+    m_at_q0 = Robot("a", oc.wam7(), q_active=q0).check_exclude_mask()
+    m_at_q1 = Robot("b", oc.wam7(), q_active=q1).check_exclude_mask()
+    assert not np.array_equal(m_at_q0, m_at_q1)
+    # move the robot somewhere else before the first check: the mask
+    # must still reflect the construction-time reference config
+    r.q_active = q1.copy()
+    np.testing.assert_array_equal(r.check_exclude_mask(), m_at_q0)
+
+
+def test_check_exclude_invalidated_by_grab_release():
+    """grab()/release() explicitly invalidate the cached exclusions —
+    including the same-sphere-count release-A-grab-B case that a
+    count-keyed cache would silently reuse."""
+    mod, r = _setup()
+    base_mask = r.check_exclude_mask()
+    n0 = base_mask.shape[0]
+    link_a = r.model.link_names[2]
+    link_b = r.model.link_names[-1]
+    a = KinBody("a", oc.Scene.build(spheres=[((0, 0, 0), 0.03)]))
+    b = KinBody("b", oc.Scene.build(spheres=[((0, 0, 0), 0.03)]))
+    mod.add_kinbody(a)
+    mod.add_kinbody(b)
+    r.grab(a, link_a)
+    assert r._check_exclude is None       # invalidated, not stale
+    mask_a = r.check_exclude_mask().copy()
+    assert mask_a.shape[0] == n0 + 1
+    r.release(a)
+    assert r._check_exclude is None
+    r.grab(b, link_b)                     # same sphere count as with a
+    mask_b = r.check_exclude_mask()
+    assert mask_b.shape[0] == n0 + 1
+    # b hangs on a different link: its adjacency row must differ from
+    # a's — a count-keyed cache would have returned mask_a verbatim
+    assert not np.array_equal(mask_a, mask_b)
+
+
 def test_bounding_spheres_cover_primitives():
     sc = oc.Scene.build(
         boxes=[((1.0, 0, 0, 0, 0, 0, 1), (0.1, 0.2, 0.3))],

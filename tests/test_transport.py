@@ -118,3 +118,24 @@ def test_no_report_cost_suppresses_reporting(world):
     assert len(mod.runs[h2].dat_rows) == 3
     mod.SendCommand(f"destroy run {h1}")
     mod.SendCommand(f"destroy run {h2}")
+
+
+def test_no_report_cost_still_writes_dat_file(world, tmp_path):
+    """no_report_cost disables *reporting* only: the .dat rows are
+    written unconditionally when dat_filename is set (the reference's
+    fprintf to fp_dat is unconditional, orcdchomp_mod.cpp:2810-2818)."""
+    mod, r = world
+    if not mod.sdfs:
+        r.enabled = False
+        mod.SendCommand("computedistancefield kinbody table cube_extent 0.15")
+        r.enabled = True
+    dat = str(tmp_path / "costs.dat")
+    goal = np.array([0.6, 0.7, 0.1, 1.4, 0.0, -0.3, 0.0])
+    h = mod.create(robot="wam", adofgoal=goal, n_points=9,
+                   no_report_cost=True, dat_filename=dat)
+    mod.iterate(run=h, n_iter=3)
+    assert len(mod.runs[h].dat_rows) == 3
+    with open(dat) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    assert len(lines) == 3
+    mod.destroy(run=h)
