@@ -70,12 +70,41 @@ def _measure(engine, run, goal, batch, n_iter, *, best_of=False,
     print(json.dumps(rec), flush=True)
 
 
+def _phase_report(engine, run, batch):
+    """Compile one batched step and print the per-phase cycle breakdown
+    (the reference's DEBUG_TIMING taxonomy, orcdchomp_mod.cpp:2835-2847,
+    attributed from named_scope metadata + TPU cycle estimates)."""
+    import jax
+    import numpy as np
+
+    from or_cdchomp_tpu.parallel.batch import problem_batch_from_grid
+    from or_cdchomp_tpu.utils.profiling import (
+        format_phase_report, phase_cycle_report)
+
+    spec = engine.spec
+    rng = np.random.default_rng(0)
+    start = np.asarray(run.problem.traj)[0]
+    goal = np.asarray(run.problem.traj)[-1]
+    starts = np.tile(start, (batch, 1)) + 0.02 * rng.normal(size=(batch, spec.n))
+    goals = np.tile(goal, (batch, 1)) + 0.02 * rng.normal(size=(batch, spec.n))
+    if spec.floating_base:
+        starts[:, 3:7] = start[3:7]
+        goals[:, 3:7] = goal[3:7]
+    probs = problem_batch_from_grid(run.problem, starts, goals, engine)
+    compiled = jax.jit(
+        lambda p: jax.vmap(engine.step)(p)).lower(probs).compile()
+    print(format_phase_report(phase_cycle_report(compiled.as_text())),
+        flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default="1,2,3,4")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--n-iter", type=int, default=100)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--phases", action="store_true",
+                    help="print per-phase cycle breakdown per config")
     args = ap.parse_args()
 
     import jax

@@ -258,6 +258,9 @@ class Trajectory:
     times: np.ndarray          # (n_points,)
     positions: np.ndarray      # (n_points, n_adof)
     base_poses: Optional[np.ndarray] = None  # (n_points, 7) if floating
+    # affine_velocities group of the merged reference trajectory
+    # (orcdchomp_mod.cpp:2940-2948): Δpose/Δt per waypoint, zeros at 0
+    base_velocities: Optional[np.ndarray] = None  # (n_points, 7)
     in_collision: bool = False
 
     @property
@@ -804,14 +807,20 @@ class CHOMPModule:
             raise ValueError("n_iter must be >=0!")
         t0 = time.time()
         done = 0
-        chunk = 1 if (max_time is not None or trajs_fileformstr) else n_iter
+        # per-iteration host work (wall-clock budget checks, trajectory
+        # snapshots) forces chunk=1; otherwise run full masked chunks.
+        # Both cases reuse ONE compiled executable per engine
+        # (iterate_masked's valid count is a traced scalar, so varying
+        # n_iter or max_time never recompiles).
+        chunk = 1 if (max_time is not None or trajs_fileformstr) \
+            else rn.engine.ITER_CHUNK
         while done < n_iter:
             todo = min(chunk, n_iter - done)
             if trajs_fileformstr:
                 np.savetxt(trajs_fileformstr % rn.iteration,
                            np.asarray(rn.problem.traj))
-            rn.problem, costs = rn.engine.iterate(rn.problem, todo)
-            costs = np.asarray(costs)
+            rn.problem, costs = rn.engine.iterate_masked(rn.problem, todo)
+            costs = np.asarray(costs)[:todo]
             # no_report_cost suppresses per-iteration cost *reporting*
             # (documented at README.md:137; the reference fails to parse
             # it — a latent bug we fix rather than replicate).  The .dat
@@ -833,7 +842,7 @@ class CHOMPModule:
             if max_time is not None and time.time() - t0 > max_time:
                 break
         total, c_obs, c_smooth = (float(x) for x in jax.device_get(
-            jax.jit(rn.engine.costs_only)(rn.problem)))
+            rn.engine.costs_only_jit(rn.problem)))
         if verbose:
             print(f"iter:{rn.iteration:2d} cost_total:{total:f} "
                   f"cost_obs:{c_obs:f} cost_smooth:{c_smooth:f} [FINAL]")
@@ -861,15 +870,29 @@ class CHOMPModule:
         else:
             base, q = None, traj
 
-        # linear retiming at joint velocity limits
-        # (RetimeActiveDOFTrajectory with LinearTrajectoryRetimer,
-        #  orcdchomp_mod.cpp:2905-2911)
+        # Linear retiming at joint velocity limits — exact parity with
+        # RetimeActiveDOFTrajectory(…, 1.0, 1.0, "LinearTrajectoryRetimer")
+        # (orcdchomp_mod.cpp:2905-2911): OpenRAVE's linear retimer times
+        # each piecewise-linear joint segment at max|Δq_j|/vmax_j; a
+        # linear profile has no acceleration degree of freedom, so the
+        # fmaxaccelmult=1.0 argument cannot shape it.
         vmax = np.asarray(rn.robot.model.dof_max_vel, dtype=np.float64)
         dq = np.abs(np.diff(q, axis=0))
         seg = (dq / vmax[None, :]).max(axis=1)
         seg = np.maximum(seg, 1e-6)
         times = np.concatenate([[0.0], np.cumsum(seg)])
-        out = Trajectory(times=times, positions=q, base_poses=base)
+
+        base_vel = None
+        if base is not None:
+            # The reference's affine_transform trajectory explicitly
+            # inherits the active-DOF deltatimes ("using the timing from
+            # the active dof trajectory above") and carries
+            # affine_velocities = Δpose/deltatime per waypoint
+            # (orcdchomp_mod.cpp:2914-2956); reproduce both.
+            base_vel = np.zeros_like(base)
+            base_vel[1:] = (base[1:] - base[:-1]) / seg[:, None]
+        out = Trajectory(times=times, positions=q, base_poses=base,
+                         base_velocities=base_vel)
 
         if not no_collision_check:
             collides = self._check_traj_collision(

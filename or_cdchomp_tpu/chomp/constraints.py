@@ -89,7 +89,8 @@ def eval_tsr_all(spec: ChompSpec, fk, prob: ChompProblem, T_full,
     # constraint points index *moving* points; map to full-trajectory rows
     full_idx = idx if spec.start_tsr else idx + 1
 
-    ee_link_pose = kin.link_poses[full_idx, fk.model.ee_link]   # (C, 7)
+    ee_link_pose = fk.link_pose_red(kin.red_poses[full_idx],
+                                    fk.model.ee_link)           # (C, 7)
     ee_origin = jnp.asarray(fk.model.ee_origin if fk.model.ee_origin
                             is not None else np.array([0, 0, 0, 0, 0, 0, 1.0]),
                             dtype=ee_link_pose.dtype)

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec
@@ -57,22 +58,10 @@ class TrajKinematics(NamedTuple):
     x_mov: jnp.ndarray    # (m, S_act, 3) at moving points
     vel: jnp.ndarray      # (m, S_act, 3) workspace velocities
     acc: jnp.ndarray      # (m, S_act, 3) workspace accelerations
-    jac: jnp.ndarray      # (m, S_act, 3, n) sphere position Jacobians
-    link_poses: jnp.ndarray  # (n_points, L, 7)
+    anchors_mov: jnp.ndarray  # (m, n_dof, 7) joint frames at moving pts
+    base_mov: jnp.ndarray     # (m, 7) base poses at moving points
+    red_poses: jnp.ndarray   # (n_points, R, 7) reduced-chain link poses
     anchors: jnp.ndarray     # (n_points, n_dof, 7)
-
-
-def _base_point_jacobian(base_pose, x):
-    """Floating-base 3×7 point Jacobian with the reference's damping.
-
-    base_pose: (..., 7); x: (..., 3) world point.
-    rows = Xm(−x)[3:6] @ pose_jac(base) · 0.01
-    (orcdchomp_mod.cpp:1050-1086)
-    """
-    Jsp = sp.pose_jac(base_pose)            # (..., 6, 7)
-    rx = sp.cross_mat(-x)                   # (..., 3, 3)
-    lin = rx @ Jsp[..., 0:3, :] + Jsp[..., 3:6, :]
-    return _BASE_JAC_DAMP * lin
 
 
 def trajectory_kinematics(spec: ChompSpec, fk, T_full,
@@ -84,46 +73,45 @@ def trajectory_kinematics(spec: ChompSpec, fk, T_full,
     non-floating robots (the robot's world transform).
     """
     dt = spec.dt
-    if spec.floating_base:
-        base = T_full[:, :7]
-        q = T_full[:, 7:]
-        link_poses, anchors = fk.link_poses(q, base_pose=base)
-    else:
-        base = jnp.broadcast_to(robot_pose, (T_full.shape[0], 7))
-        link_poses, anchors = fk.link_poses(T_full, base_pose=base)
-    x_all = fk.sphere_positions(link_poses)      # (n_points, S, 3)
+    with jax.named_scope("fk"):
+        if spec.floating_base:
+            base = T_full[:, :7]
+            q = T_full[:, 7:]
+            red_poses, anchors = fk.red_poses(q, base_pose=base)
+        else:
+            base = jnp.broadcast_to(robot_pose, (T_full.shape[0], 7))
+            red_poses, anchors = fk.red_poses(T_full, base_pose=base)
+        x_all = fk.sphere_positions_red(red_poses)   # (n_points, S, 3)
 
-    arm_jac = fk.sphere_jacobians(anchors, x_all)  # (n_points, S, 3, n_adof)
-    if spec.floating_base:
-        base_jac = _base_point_jacobian(
-            T_full[:, None, :7], x_all)            # (n_points, S, 3, 7)
-        jac_all = jnp.concatenate([base_jac, arm_jac], axis=-1)
-    else:
-        jac_all = arm_jac
-
-    # moving-point windows (orcdchomp_mod.cpp:1040-1046: ti_mov offset)
+    # moving-point windows (orcdchomp_mod.cpp:1040-1046: ti_mov offset).
+    # No sphere Jacobian tensor is built: the Jᵀ map is applied in
+    # factored form (CompiledFK.apply_sphere_jacT) from anchors alone.
     if spec.start_tsr:
         x_mov = x_all[:-1]
-        jac = jac_all[:-1]
+        anchors_mov = anchors[:-1]
+        base_mov = base[:-1]
     else:
         x_mov = x_all[1:-1]
-        jac = jac_all[1:-1]
+        anchors_mov = anchors[1:-1]
+        base_mov = base[1:-1]
 
     # central-difference velocities/accelerations over *all* points
     # (orcdchomp_mod.cpp:1099-1127)
-    internal_vel = (x_all[2:] - x_all[:-2]) / (2.0 * dt)       # (n_points-2, S, 3)
-    internal_acc = (x_all[:-2] - 2.0 * x_all[1:-1] + x_all[2:]) / (dt * dt)
-    if spec.start_tsr:
-        v0 = (x_all[1:2] - x_all[0:1]) / dt
-        vel = jnp.concatenate([v0, internal_vel], axis=0)
-        acc = jnp.concatenate([internal_acc[0:1], internal_acc], axis=0)
-    else:
-        vel = internal_vel
-        acc = internal_acc
+    with jax.named_scope("pre_velsaccs"):
+        internal_vel = (x_all[2:] - x_all[:-2]) / (2.0 * dt)   # (n_points-2, S, 3)
+        internal_acc = (x_all[:-2] - 2.0 * x_all[1:-1] + x_all[2:]) / (dt * dt)
+        if spec.start_tsr:
+            v0 = (x_all[1:2] - x_all[0:1]) / dt
+            vel = jnp.concatenate([v0, internal_vel], axis=0)
+            acc = jnp.concatenate([internal_acc[0:1], internal_acc], axis=0)
+        else:
+            vel = internal_vel
+            acc = internal_acc
 
     return TrajKinematics(
-        x_all=x_all, x_mov=x_mov, vel=vel, acc=acc, jac=jac,
-        link_poses=link_poses, anchors=anchors)
+        x_all=x_all, x_mov=x_mov, vel=vel, acc=acc,
+        anchors_mov=anchors_mov, base_mov=base_mov,
+        red_poses=red_poses, anchors=anchors)
 
 
 def obstacle_cost_grad(spec: ChompSpec, fields: FieldStack, radii,
@@ -231,8 +219,19 @@ def self_collision_cost_grad(spec: ChompSpec, same_link_mask, radii_act,
     vnorm = jnp.linalg.norm(vel, axis=-1)                  # (m, S_act)
     eps_s = prob.epsilon_self
 
-    v_from = x_i[:, :, None, :] - x_other[:, None, :, :]   # (m, Sa, So, 3)
-    cdist = jnp.linalg.norm(v_from, axis=-1)               # (m, Sa, So)
+    # Pair distances via dot products instead of the (m, Sa, So, 3)
+    # difference tensor: every pairwise quantity below is a *scalar*
+    # (m, Sa, So) matrix, and the pair direction vectors are never
+    # materialized — 3x less VPU traffic on the hottest tensors of the
+    # step.  NB the pair contractions are written as broadcast-multiply
+    # + reduce, NOT einsum/dot: a K=3 contraction batched over (m, Sa)
+    # lowers to thousands of tiny MXU matmuls (measured 9x slower end
+    # to end), while the broadcast form fuses into one VPU loop.
+    xi2 = jnp.sum(x_i * x_i, axis=-1)                      # (m, Sa)
+    xo2 = jnp.sum(x_other * x_other, axis=-1)              # (m, So)
+    xio = jnp.sum(x_i[:, :, None, :] * x_other[:, None, :, :], axis=-1)
+    cdist = jnp.sqrt(jnp.maximum(
+        xi2[:, :, None] + xo2[:, None, :] - 2.0 * xio, 0.0))
     rsum = radii_act[:, None] + radii_all[None, :]         # (Sa, So)
     pair_ok = (~same_link_mask) & (cdist <= rsum + eps_s)
 
@@ -247,24 +246,45 @@ def self_collision_cost_grad(spec: ChompSpec, same_link_mask, radii_act,
     if not want_grad:
         return cost, None
 
-    u = v_from / jnp.maximum(cdist, 1e-12)[..., None]
+    # g_ij = w1_ij (x_i − x_j) with the scalar pair weight
+    # w1 = [ok]·slope·obs_self·‖ẋ_i‖ / max(‖x_i−x_j‖, 1e-12)
+    # (u·slope·scale of orcdchomp_mod.cpp:1290-1295, factored so the
+    # direction vector never exists)
     slope = jnp.where(d < 0.0, -1.0, d / eps_s - 1.0)
-    g = u * (slope * (prob.obs_factor_self * vnorm)[..., None])[..., None]
-    g = jnp.where(pair_ok[..., None], g, 0.0)              # (m, Sa, So, 3)
+    w1 = jnp.where(pair_ok,
+                   slope * (prob.obs_factor_self * vnorm)[..., None]
+                   / jnp.maximum(cdist, 1e-12), 0.0)       # (m, Sa, So)
 
-    # projection off the velocity of sphere i (orcdchomp_mod.cpp:1297-1301)
-    v2 = jnp.sum(vel * vel, axis=-1)
+    # projection off the velocity of sphere i (orcdchomp_mod.cpp:1297-1301):
+    # g'_ij = g_ij − (g_ij·v_i/‖v_i‖²) v_i, and
+    # g_ij·v_i = w1_ij (x_i·v_i − x_j·v_i)  — again scalar matrices
+    v2 = jnp.sum(vel * vel, axis=-1)                       # (m, Sa)
     safe = vnorm > _VEL_EPS
-    gv = jnp.sum(g * vel[:, :, None, :], axis=-1)
-    proj = jnp.where(safe[..., None], gv /
-                     jnp.where(safe, v2, 1.0)[..., None], 0.0)
-    g = g - proj[..., None] * vel[:, :, None, :]
+    xv = jnp.sum(x_i * vel, axis=-1)                       # (m, Sa)
+    xov = jnp.sum(vel[:, :, None, :] * x_other[:, None, :, :], axis=-1)
+    b = xv[:, :, None] - xov
+    w2 = jnp.where(safe[..., None],
+                   w1 * b / jnp.where(safe, v2, 1.0)[..., None], 0.0)
 
-    # J2 = J_i − J_j mapped without materializing pair Jacobians:
-    #   Σ_ij (J_i − J_j)ᵀ g_ij = Σ_s J_sᵀ (Σ_j g_sj − Σ_i g_is[active]);
-    # returned as a workspace gradient for the caller's joint Jᵀ map
+    # net workspace gradient per active sphere:
+    #   Σ_j g'_sj − Σ_i g'_is[active]
+    # = x_s·Σ_j w1_sj − (w1 @ x_other)_s − v_s·Σ_j w2_sj
+    #   − [(w1ᵃᵀ x)_s − x_s·Σ_i w1ᵃ_is − (w2ᵃᵀ v)_s]
+    # (J2 = J_i − J_j is likewise never materialized; the caller maps
+    # this net through each sphere's own Jᵀ once)
     s_act = x_i.shape[1]
-    net = jnp.sum(g, axis=2) - jnp.sum(g[:, :, :s_act, :], axis=1)
+    w1a = w1[:, :, :s_act]
+    w2a = w2[:, :, :s_act]
+    r1 = jnp.sum(w1, axis=2)                               # (m, Sa)
+    r2 = jnp.sum(w2, axis=2)
+    c1 = jnp.sum(w1a, axis=1)                              # (m, Sa) col sums
+    xo_b = x_other[:, None, :, :]                          # (m, 1, So, 3)
+    net = (x_i * r1[..., None]
+           - jnp.sum(w1[..., None] * xo_b, axis=2)         # w1 @ x_other
+           - vel * r2[..., None]
+           - jnp.sum(w1a[..., None] * x_i[:, :, None, :], axis=1)  # w1ᵃᵀ x
+           + x_i * c1[..., None]
+           + jnp.sum(w2a[..., None] * vel[:, :, None, :], axis=1))  # w2ᵃᵀ v
     return cost, net, cost_pair
 
 
@@ -276,16 +296,34 @@ def total_cost_grad(spec: ChompSpec, fk, fields: FieldStack,
     Returns (cost_obs (), G (m, n) or None, kin).  Cost and gradient
     are averaged over moving points (chomp.c:489-492).
     """
-    kin = trajectory_kinematics(spec, fk, prob.traj, prob.robot_pose)
-    c_obs, w_obs, _ = obstacle_cost_grad(
-        spec, fields, radii_act, prob, kin, want_grad)
-    out_self = self_collision_cost_grad(
-        spec, same_link_mask, radii_act, radii_all, prob, kin, want_grad)
+    with jax.named_scope("callback_pre"):
+        kin = trajectory_kinematics(spec, fk, prob.traj, prob.robot_pose)
+    with jax.named_scope("obstacle"):
+        c_obs, w_obs, _ = obstacle_cost_grad(
+            spec, fields, radii_act, prob, kin, want_grad)
+    with jax.named_scope("selfcol"):
+        out_self = self_collision_cost_grad(
+            spec, same_link_mask, radii_act, radii_all, prob, kin, want_grad)
     c_self, w_self = out_self[0], out_self[1]
     cost = (c_obs + c_self) / spec.m
     if not want_grad:
         return cost, None, kin
-    # single joint Jᵀ map for both workspace gradients — the (m,S,3,n)
-    # Jacobian is the largest per-iteration tensor; contract it once
-    G = jnp.einsum("msi,msin->mn", w_obs + w_self, kin.jac) / spec.m
+    # single joint Jᵀ map for both workspace gradients, in factored form
+    # (apply_sphere_jacT): the (m,S,3,n) Jacobian tensor is never built
+    with jax.named_scope("jtmap"):
+        w = w_obs + w_self
+        G_arm = fk.apply_sphere_jacT(kin.anchors_mov, kin.x_mov, w)
+        if spec.floating_base:
+            # base block (orcdchomp_mod.cpp:1050-1086), transposed:
+            # Jᵀw = 0.01·(Jsp[:3]ᵀ Σ(x×w) + Jsp[3:]ᵀ Σw)
+            # using cross_mat(−x)ᵀ w = x × w
+            Jsp = sp.pose_jac(kin.base_mov)              # (m, 6, 7)
+            sxw = jnp.sum(jnp.cross(kin.x_mov, w), axis=1)  # (m, 3)
+            sw = jnp.sum(w, axis=1)                         # (m, 3)
+            G_base = _BASE_JAC_DAMP * (
+                jnp.sum(Jsp[:, 0:3] * sxw[:, :, None], axis=1)
+                + jnp.sum(Jsp[:, 3:6] * sw[:, :, None], axis=1))  # (m, 7)
+            G = jnp.concatenate([G_base, G_arm], axis=-1) / spec.m
+        else:
+            G = G_arm / spec.m
     return cost, G, kin

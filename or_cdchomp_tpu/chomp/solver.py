@@ -257,43 +257,52 @@ class ChompEngine:
 
         AG, hmc = self._maybe_resample(prob)
 
-        c_obs, G, kin = self._cost_and_grad(prob, want_grad=True)
+        # phase scopes mirror the reference's DEBUG_TIMING taxonomy
+        # (chomp.h:95-100, orcdchomp_mod.cpp:2835-2847); they land in
+        # op_name metadata for profiler traces and the per-phase cycle
+        # report (utils/profiling.phase_cycle_report)
+        with jax.named_scope("callbacks"):
+            c_obs, G, kin = self._cost_and_grad(prob, want_grad=True)
 
-        # smoothness gradient (chomp.c:515-522)
-        G = G + self.apply_A(T_mov) + prob.B
+        with jax.named_scope("smoothgrad"):
+            # smoothness gradient (chomp.c:515-522)
+            G = G + self.apply_A(T_mov) + prob.B
 
-        if not spec.use_momentum:
-            AG_new = self.solve_A(G)
-            leap = hmc.leapfrog_first
-        else:
-            # leapfrog half step on first use (chomp.c:533-548)
-            scale = jnp.where(hmc.leapfrog_first, 0.5, 1.0) / lam
-            AG_new = AG + scale * self.solve_A(G)
-            leap = jnp.zeros_like(hmc.leapfrog_first)
+            if not spec.use_momentum:
+                AG_new = self.solve_A(G)
+                leap = hmc.leapfrog_first
+            else:
+                # leapfrog half step on first use (chomp.c:533-548)
+                scale = jnp.where(hmc.leapfrog_first, 0.5, 1.0) / lam
+                AG_new = AG + scale * self.solve_A(G)
+                leap = jnp.zeros_like(hmc.leapfrog_first)
 
         # constraint projection (chomp.c:553-600)
         if self.cons.k_total:
-            val, jac = eval_tsr_all(spec, self.fk, prob, prob.traj,
-                                    self.cons, kin)
-            T_mov = T_mov + project_constraints(
-                spec, self.cons, self, lam, AG_new, T_mov, val, jac)
+            with jax.named_scope("constraint"):
+                val, jac = eval_tsr_all(spec, self.fk, prob, prob.traj,
+                                        self.cons, kin)
+                T_mov = T_mov + project_constraints(
+                    spec, self.cons, self, lam, AG_new, T_mov, val, jac)
 
         # gradient descent step (chomp.c:604-605)
         T_mov = T_mov - AG_new / lam
 
         # joint limits
-        T_mov, _ = self._limit_repair(T_mov, prob.jlimit_lower,
-                                      prob.jlimit_upper)
+        with jax.named_scope("limits"):
+            T_mov, _ = self._limit_repair(T_mov, prob.jlimit_lower,
+                                          prob.jlimit_upper)
+
+        # smooth cost on the updated *pre-renorm* trajectory, exactly
+        # where cd_chomp_iterate computes it (chomp.c:660-677)
+        c_smooth = self.smooth_cost(prob, T_mov)
 
         traj = self.set_T_mov(prob.traj, T_mov)
         if spec.floating_base:
-            # per-iteration quaternion renormalization
-            # (orcdchomp_mod.cpp:2805-2808)
+            # per-iteration quaternion renormalization happens *after*
+            # the core iteration (orcdchomp_mod.cpp:2805-2808)
             traj = jnp.concatenate(
                 [qt.pose_normalize(traj[:, :7]), traj[:, 7:]], axis=1)
-            T_mov = self.get_T_mov(traj)
-
-        c_smooth = self.smooth_cost(prob, T_mov)
 
         new_prob = prob._replace(
             traj=traj, AG=AG_new,
@@ -314,6 +323,36 @@ class ChompEngine:
 
         prob, costs = jax.lax.scan(body, prob, None, length=n_iter)
         return prob, costs
+
+    # fixed chunk length of the masked driver: one compiled executable
+    # per engine serves every (n_iter, max_time) pattern
+    ITER_CHUNK = 16
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def iterate_masked(self, prob: ChompProblem, valid):
+        """ITER_CHUNK steps with the first ``valid`` (a *traced* scalar)
+        applied and the rest passed through unchanged.  Unlike
+        :meth:`iterate`, whose executable is specialized on the static
+        n_iter, this compiles exactly once per engine — the api-level
+        driver uses it so varying n_iter / max_time budgets / tail
+        chunks never trigger a recompile.  Returns
+        (problem, costs (ITER_CHUNK, 3)); rows ≥ valid are garbage and
+        the caller slices them off."""
+        valid = jnp.asarray(valid, jnp.int32)
+
+        def body(p, i):
+            p2, costs = self.step(p)
+            take = i < valid
+            p2 = jax.tree.map(lambda a, b: jnp.where(take, a, b), p2, p)
+            return p2, jnp.stack(costs)
+
+        prob, costs = jax.lax.scan(body, prob,
+                                   jnp.arange(self.ITER_CHUNK, dtype=jnp.int32))
+        return prob, costs
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def costs_only_jit(self, prob: ChompProblem):
+        return self.costs_only(prob)
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def iterate_batch(self, probs: ChompProblem, n_iter: int):

@@ -347,45 +347,145 @@ class CompiledFK:
         self._sphere_dof_mask = jnp.asarray(mask)
         self._jtype_per_dof = jnp.asarray(
             [self._jtype[self._dof_link[d]] for d in range(model.n_dof)])
+        self._build_reduced_chain(model, origin64, subset)
+
+    # ----- reduced chain ---------------------------------------------------
+
+    def _build_reduced_chain(self, model, origin64, subset):
+        """Fold every fixed/frozen joint into per-link constant offsets
+        so the compiled FK walks only *active* joints.
+
+        Each link's pose factors as pose(red(l)) ∘ off(l) where red(l)
+        is its nearest ancestor (or self) with an active joint and
+        off(l) is a constant.  The active chain then needs one constant
+        compose + one motion compose per active DOF, and sphere world
+        positions come straight from the reduced poses with the sphere
+        offsets pre-folded — the whole frozen finger subtree of the WAM
+        model (orcdchomp frozen-inactive-joint semantics) costs zero ops
+        in the hot path."""
+        L = self.n_links
+        ID = np.array([0, 0, 0, 0, 0, 0, 1.0])
+        red_slot = np.zeros(L, dtype=np.int64)
+        off = np.tile(ID, (L, 1))
+        chain = []
+        next_slot = 1
+        for i in range(1, L):
+            p = int(model.parent[i])
+            d = int(model.dof_index[i])
+            if d >= 0:
+                K = _pose_compose64(off[p], origin64[i])
+                chain.append(dict(
+                    dof=d, parent_slot=int(red_slot[p]),
+                    jtype=int(model.jtype[i]),
+                    axis=np.asarray(model.axis[i], dtype=np.float64),
+                    K=K,
+                    rot_id=bool(np.allclose(K[3:], ID[3:], atol=1e-14)),
+                    pos_zero=bool(np.allclose(K[:3], 0.0, atol=1e-14))))
+                red_slot[i] = next_slot
+                next_slot += 1
+            else:
+                off[i] = _pose_compose64(off[p], origin64[i])
+                red_slot[i] = red_slot[p]
+        self._chain = chain
+        self.n_red = next_slot
+        self._red_slot = [int(s) for s in red_slot]
+        self._off64 = off
+        self._off_id = [bool(np.allclose(off[i], ID, atol=1e-14))
+                        for i in range(L)]
+        self._red_slot_links = jnp.asarray(red_slot)
+        self._off_q = jnp.asarray(off[:, 3:], dtype=self.dtype)
+        self._off_p = jnp.asarray(off[:, :3], dtype=self.dtype)
+        # sphere offsets folded through off(link): world sphere pos is
+        # pose_apply(red_pose[slot], folded_pos)
+        sl = model.sphere_link[subset]
+        folded = np.stack(
+            [_rotate64(off[li, 3:], model.sphere_pos[subset][k])
+             + off[li, :3] for k, li in enumerate(sl)]) \
+            if len(sl) else np.zeros((0, 3))
+        self._sphere_red_slot = jnp.asarray(red_slot[sl]) if len(sl) else \
+            jnp.zeros((0,), jnp.int32)
+        self._sphere_folded_pos = jnp.asarray(folded, dtype=self.dtype)
+
+    def red_poses(self, q, base_pose=None):
+        """World poses of the reduced (active-joint) chain.
+
+        q: (..., n_dof).  Returns (red (..., n_red, 7), anchors
+        (..., n_dof, 7)) with red[..., 0, :] the base pose and one entry
+        per active joint; anchors are the joint frames *before* joint
+        motion (world axis/origin of each active DOF)."""
+        q = jnp.asarray(q, dtype=self.dtype)
+        batch = q.shape[:-1]
+        if base_pose is None:
+            base_pose = jnp.broadcast_to(qt.pose_identity(self.dtype),
+                                         batch + (7,))
+        # all revolute motion quats at once: one sin + one cos op
+        half = 0.5 * q
+        s = jnp.sin(half)
+        c = jnp.cos(half)
+        red = [base_pose]
+        anchors = [None] * self.n_dof
+        for e in self._chain:
+            parent = red[e["parent_slot"]]
+            pq = parent[..., 3:]
+            ppos = parent[..., :3]
+            aq = pq if e["rot_id"] else qt.quat_compose_const(pq, e["K"][3:])
+            apos = ppos if e["pos_zero"] else \
+                ppos + qt.quat_rotate_const(pq, e["K"][:3])
+            anchor = jnp.concatenate([apos, aq], axis=-1)
+            anchors[e["dof"]] = anchor
+            d = e["dof"]
+            if e["jtype"] == REVOLUTE:
+                ax = jnp.asarray(e["axis"], dtype=self.dtype)
+                mq = jnp.concatenate(
+                    [s[..., d, None] * ax, c[..., d, None]], axis=-1)
+                pose = jnp.concatenate(
+                    [apos, qt.quat_compose(aq, mq)], axis=-1)
+            else:  # prismatic
+                step = qt.quat_rotate_const(aq, e["axis"]) * q[..., d, None]
+                pose = jnp.concatenate([apos + step, aq], axis=-1)
+            red.append(pose)
+        red_arr = jnp.stack(red, axis=-2)
+        anchors_arr = jnp.stack(anchors, axis=-2) if self.n_dof else \
+            jnp.zeros(batch + (0, 7), self.dtype)
+        return red_arr, anchors_arr
+
+    def link_pose_red(self, red, link):
+        """Pose of one link from reduced poses (constant-offset compose)."""
+        rp = red[..., self._red_slot[link], :]
+        if self._off_id[link]:
+            return rp
+        off = self._off64[link]
+        pq = rp[..., 3:]
+        pos = rp[..., :3] + qt.quat_rotate_const(pq, off[:3])
+        return jnp.concatenate([pos, qt.quat_compose_const(pq, off[3:])],
+                               axis=-1)
+
+    def _reconstruct_links(self, red):
+        """All L link poses from the reduced chain (one batched compose
+        against the constant offsets) — API-surface path, not the hot
+        per-iteration path."""
+        rp = jnp.take(red, self._red_slot_links, axis=-2)   # (..., L, 7)
+        pq = rp[..., 3:]
+        q = qt.quat_compose(pq, jnp.broadcast_to(self._off_q, pq.shape))
+        pos = rp[..., :3] + qt.quat_rotate(pq, self._off_p)
+        return jnp.concatenate([pos, q], axis=-1)
 
     def link_poses(self, q, base_pose=None):
         """World poses of all links.  q: (..., n_dof); returns
-        (poses (..., L, 7), anchors (..., n_dof, 7)) where anchors are
-        the joint frames *before* joint motion (world axis/origin of
-        each active DOF)."""
-        q = jnp.asarray(q, dtype=self.dtype)
-        batch = q.shape[:-1]
-        ident = jnp.broadcast_to(qt.pose_identity(self.dtype), batch + (7,))
-        poses = [base_pose if base_pose is not None else ident]
-        anchors = [None] * self.n_dof
-        for i in range(1, self.n_links):
-            anchor = qt.pose_compose(poses[self._parent[i]], self._origin[i])
-            d = self._dof[i]
-            if d < 0:
-                poses.append(anchor)
-                continue
-            anchors[d] = anchor
-            ax = self._axis[i]
-            if self._jtype[i] == REVOLUTE:
-                mq = qt.quat_from_axisangle(
-                    jnp.broadcast_to(ax, batch + (3,)), q[..., d])
-                motion = jnp.concatenate(
-                    [jnp.zeros(batch + (3,), self.dtype), mq], axis=-1)
-            else:  # prismatic
-                pos = ax * q[..., d][..., None]
-                motion = jnp.concatenate(
-                    [pos, jnp.broadcast_to(qt.quat_identity(self.dtype),
-                                           batch + (4,))], axis=-1)
-            poses.append(qt.pose_compose(anchor, motion))
-        poses_arr = jnp.stack(poses, axis=-2)
-        anchors_arr = jnp.stack(anchors, axis=-2) if self.n_dof else \
-            jnp.zeros(batch + (0, 7), self.dtype)
-        return poses_arr, anchors_arr
+        (poses (..., L, 7), anchors (..., n_dof, 7))."""
+        red, anchors = self.red_poses(q, base_pose)
+        return self._reconstruct_links(red), anchors
 
     def sphere_positions(self, link_poses):
         """World sphere centers (..., S, 3) from link poses."""
         lp = jnp.take(link_poses, self._sphere_link, axis=-2)
         return qt.pose_apply(lp, self._sphere_pos)
+
+    def sphere_positions_red(self, red):
+        """World sphere centers (..., S, 3) straight from reduced poses
+        (sphere offsets pre-folded through the frozen subtrees)."""
+        rp = jnp.take(red, self._sphere_red_slot, axis=-2)
+        return qt.pose_apply(rp, self._sphere_folded_pos)
 
     def point_jacobian(self, anchors, x, link_mask):
         """Position Jacobian of world point(s) w.r.t. active DOFs.
@@ -420,19 +520,53 @@ class CompiledFK:
             anchors[..., None, :, :], sphere_x, mask)
         return jac
 
+    def apply_sphere_jacT(self, anchors, sphere_x, w):
+        """G = Σ_s J(s)ᵀ w_s without materializing any sphere Jacobian.
+
+        anchors: (..., D, 7); sphere_x, w: (..., S, 3).
+        Returns (..., D).
+
+        The revolute column is mask_sd · a_d × (x_s − o_d); contracting
+        against w_s uses the triple-product identity
+        w·(a×(x−o)) = a·(x×w) − a·(o×(Σw)), so the computation touches
+        only (..., S, 3) and (..., D, 3) tensors.  The naive einsum
+        materializes a (..., S, 3, D) Jacobian — 326 MB per step on the
+        batch-256 bench, which made the Jᵀ map HBM-bound (measured
+        ~450 µs of a 2.3 ms step).  All reductions are broadcast-sum,
+        not dot_general: tiny-K batched matmuls lower to thousands of
+        underfilled MXU passes.
+        """
+        axis_local = jnp.stack(
+            [self._axis[self._dof_link[d]] for d in range(self.n_dof)]) \
+            if self.n_dof else jnp.zeros((0, 3), self.dtype)
+        axis_w = qt.quat_rotate(anchors[..., 3:], axis_local)   # (..., D, 3)
+        origin_w = anchors[..., :3]                             # (..., D, 3)
+        mask = self._sphere_dof_mask.astype(self.dtype)         # (S, D)
+
+        xw = jnp.cross(sphere_x, w)                             # (..., S, 3)
+        # Σ_s mask_sd (x_s × w_s) and Σ_s mask_sd w_s → (..., D, 3)
+        sum_xw = jnp.sum(xw[..., :, None, :] * mask[:, :, None], axis=-3)
+        sum_w = jnp.sum(w[..., :, None, :] * mask[:, :, None], axis=-3)
+
+        g_rev = jnp.sum(axis_w * (sum_xw - jnp.cross(origin_w, sum_w)),
+                        axis=-1)
+        g_pri = jnp.sum(axis_w * sum_w, axis=-1)
+        rev = (self._jtype_per_dof == REVOLUTE)
+        return jnp.where(rev, g_rev, g_pri)                     # (..., D)
+
     def fk_spheres(self, q, base_pose=None):
         """One-call convenience: (sphere_x (..., S, 3),
         jac (..., S, 3, n_dof), link_poses (..., L, 7))."""
-        link_poses, anchors = self.link_poses(q, base_pose)
-        x = self.sphere_positions(link_poses)
+        red, anchors = self.red_poses(q, base_pose)
+        x = self.sphere_positions_red(red)
         jac = self.sphere_jacobians(anchors, x)
-        return x, jac, link_poses
+        return x, jac, self._reconstruct_links(red)
 
     def sphere_positions_jit(self, q, base_pose):
         """Jitted (cached) sphere-position FK for host-side callers."""
         if not hasattr(self, "_jit_sphere_pos"):
             def f(q, base_pose):
-                lp, _ = self.link_poses(q, base_pose)
-                return self.sphere_positions(lp)
+                red, _ = self.red_poses(q, base_pose)
+                return self.sphere_positions_red(red)
             self._jit_sphere_pos = jax.jit(f)
         return self._jit_sphere_pos(q, base_pose)

@@ -166,6 +166,27 @@ def quat_rotate(q, v):
     return jnp.einsum("...ab,...b->...a", R, v)
 
 
+def quat_rotate_const(q, v_const):
+    """Rotate a *constant* 3-vector by quaternion(s) q: the structure
+    tensor is pre-contracted with v at trace time, so this is one
+    quadratic einsum instead of two contractions — used by the reduced
+    FK chain where every joint origin is a compile-time constant."""
+    dtype = q.dtype
+    Mv = jnp.einsum("abij,b->aij", _const(_QROT64, dtype),
+                    jnp.asarray(v_const, dtype))
+    return jnp.einsum("aij,...i,...j->...a", Mv, q, q)
+
+
+def quat_compose_const(q, k_const):
+    """Hamilton product q ⊗ k with *constant* k: pre-contracting the
+    product tensor with k turns the compose into a single (..., 4)@(4,4)
+    matmul."""
+    dtype = q.dtype
+    Mk = jnp.einsum("kij,j->ki", _const(_QMUL64, dtype),
+                    jnp.asarray(k_const, dtype))
+    return jnp.einsum("ki,...i->...k", Mk, q)
+
+
 def pose_compose(pab, pbc):
     """Compose pose_ac = pose_ab ∘ pose_bc. (kin.c:138-212)"""
     q = quat_compose(pab[..., 3:], pbc[..., 3:])

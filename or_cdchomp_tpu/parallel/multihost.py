@@ -36,10 +36,14 @@ def initialize(coordinator_address: Optional[str] = None,
     On TPU pods the three arguments are auto-detected from the
     environment; on CPU/GPU test rigs pass them explicitly.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and num_processes is None:
         return  # single process — nothing to do
+    # NB: must not touch jax.process_count()/jax.devices() here — any
+    # backend query would initialize XLA and make distributed bring-up
+    # impossible; check the distributed client state directly instead
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

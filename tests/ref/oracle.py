@@ -188,6 +188,109 @@ def signed_sdf(occupied, lengths):
 
 
 # ---------------------------------------------------------------------------
+# spatial / xyzypr helpers (spatial.c:295-375, 72-101; kin.c:616-712)
+# ---------------------------------------------------------------------------
+
+def pose_jac(pose):
+    """6x7 pose-velocity Jacobian (spatial.c:295-337)."""
+    x, y, z = pose[:3]
+    qx2, qy2, qz2, qw2 = 2.0 * pose[3:]
+    J = np.zeros((6, 7))
+    J[3, 0] = J[4, 1] = J[5, 2] = 1.0
+    J[0, 3:] = [qw2, -qz2, qy2, -qx2]
+    J[1, 3:] = [qz2, qw2, -qx2, -qy2]
+    J[2, 3:] = [-qy2, qx2, qw2, -qz2]
+    J[3, 3:] = [-z * qz2 - y * qy2, -z * qw2 + y * qx2,
+                z * qx2 + y * qw2, z * qy2 - y * qz2]
+    J[4, 3:] = [z * qw2 + x * qy2, -z * qz2 - x * qx2,
+                z * qy2 - x * qw2, -z * qx2 + x * qz2]
+    J[5, 3:] = [-y * qw2 + x * qz2, y * qz2 + x * qw2,
+                -y * qy2 - x * qx2, y * qx2 - x * qy2]
+    return J
+
+
+def pose_jac_inverse(pose):
+    """7x6 inverse pose-velocity Jacobian (spatial.c:339-375)."""
+    x, y, z = pose[:3]
+    qxd, qyd, qzd, qwd = 0.5 * pose[3:]
+    J = np.zeros((7, 6))
+    J[0, 1], J[0, 2] = z, -y
+    J[1, 0], J[1, 2] = -z, x
+    J[2, 0], J[2, 1] = y, -x
+    J[0, 3] = J[1, 4] = J[2, 5] = 1.0
+    J[3, :3] = [qwd, qzd, -qyd]
+    J[4, :3] = [-qzd, qwd, qxd]
+    J[5, :3] = [qyd, -qxd, qwd]
+    J[6, :3] = [-qxd, -qyd, -qzd]
+    return J
+
+
+def xm_from_pose(pose):
+    """6x6 motion transform from a pose (spatial.c:104-135)."""
+    R = q_to_R(pose[3:])
+    x, y, z = pose[:3]
+    rx = np.array([[0.0, -z, y], [z, 0.0, -x], [-y, x, 0.0]])
+    X = np.zeros((6, 6))
+    X[:3, :3] = R
+    X[3:, 3:] = R
+    X[3:, :3] = rx @ R
+    return X
+
+
+def pose_to_xyzypr(pose):
+    """(kin.c:616-647; no gimbal-lock branches hit in tests)."""
+    qx, qy, qz, qw = pose[3:]
+    out = np.zeros(6)
+    out[:3] = pose[:3]
+    sinp2 = qw * qy - qz * qx
+    if sinp2 > 0.49999:
+        out[3] = -2.0 * np.arctan2(qx, qw)
+        out[4] = 0.25 * TAU
+        out[5] = 0.0
+    elif sinp2 < -0.49999:
+        out[3] = 2.0 * np.arctan2(qx, qw)
+        out[4] = -0.25 * TAU
+        out[5] = 0.0
+    else:
+        out[3] = np.arctan2(2.0 * (qw * qz + qx * qy),
+                            1.0 - 2.0 * (qy * qy + qz * qz))
+        out[4] = np.arcsin(2.0 * sinp2)
+        out[5] = np.arctan2(2.0 * (qw * qx + qy * qz),
+                            1.0 - 2.0 * (qx * qx + qy * qy))
+    return out
+
+
+def pose_to_xyzypr_J(pose):
+    """6x7 xyzypr Jacobian (kin.c:683-712)."""
+    qx, qy, qz, qw = pose[3:]
+    J = np.zeros((6, 7))
+    J[0, 0] = J[1, 1] = J[2, 2] = 1.0
+    nu = 2.0 * (qw * qz + qx * qy)
+    de = 1.0 - 2.0 * (qy * qy + qz * qz)
+    dd = de * de + nu * nu
+    J[3, 3] = de / dd * (2.0 * qy)
+    J[3, 4] = de / dd * (2.0 * qx) - nu / dd * (-4.0 * qy)
+    J[3, 5] = de / dd * (2.0 * qw) - nu / dd * (-4.0 * qz)
+    J[3, 6] = de / dd * (2.0 * qz)
+    a = 2.0 * (qw * qy - qz * qx)
+    s = 1.0 / np.sqrt(1.0 - a * a)
+    J[4, 3:] = [s * 2.0 * (-qz), s * 2.0 * qw, s * 2.0 * (-qx), s * 2.0 * qy]
+    nu = 2.0 * (qw * qx + qy * qz)
+    de = 1.0 - 2.0 * (qx * qx + qy * qy)
+    dd = de * de + nu * nu
+    J[5, 3] = de / dd * (2.0 * qw) - nu / dd * (-4.0 * qx)
+    J[5, 4] = de / dd * (2.0 * qz) - nu / dd * (-4.0 * qy)
+    J[5, 5] = de / dd * (2.0 * qy)
+    J[5, 6] = de / dd * (2.0 * qx)
+    return J
+
+
+def p_normalize(pose):
+    q = pose[3:]
+    return np.concatenate([pose[:3], q / np.linalg.norm(q)])
+
+
+# ---------------------------------------------------------------------------
 # metric (chomp.c:239-428)
 # ---------------------------------------------------------------------------
 
@@ -324,17 +427,33 @@ def sphere_jacobian(model, anchors, x, link_index):
 # ---------------------------------------------------------------------------
 
 class OracleChomp:
-    """Sequential implementation of one full CHOMP problem."""
+    """Sequential implementation of one full CHOMP problem.
+
+    Feature coverage mirrors the reference iteration surface:
+    floating base (orcdchomp_mod.cpp:991-1086, 2805-2808), momentum and
+    injected-noise HMC (chomp.c:533-548, orcdchomp_mod.cpp:2754-2768),
+    TSR constraint projection (con_tsr orcdchomp_mod.cpp:1330-1497,
+    chomp.c:553-600), start_tsr (m = n_points-1, shifted windows,
+    orcdchomp_mod.cpp:2569-2572, 1040-1046, 1099-1127), multi-SDF
+    min-select and inactive spheres.
+    """
 
     def __init__(self, model, robot_pose, traj, lambda_, epsilon,
                  epsilon_self, obs_factor, obs_factor_self,
-                 sdfs, jlimit_lower, jlimit_upper, D=1):
-        """sdfs: list of (data, lengths, pose_world_gsdf)."""
+                 sdfs, jlimit_lower, jlimit_upper, D=1,
+                 floating_base=False, use_momentum=False,
+                 constraints=(), start_tsr=False, ee_origin=None):
+        """sdfs: list of (data, lengths, pose_world_gsdf).
+        constraints: list of (moving_point_idx, enabled6, T0w, Twe)."""
         self.model = model
         self.robot_pose = np.asarray(robot_pose, dtype=float)
         self.traj = np.asarray(traj, dtype=float).copy()
         self.n_points, self.n = self.traj.shape
-        self.m = self.n_points - 2
+        self.floating_base = bool(floating_base)
+        self.start_tsr = bool(start_tsr)
+        self.m = self.n_points - (1 if start_tsr else 2)
+        self.mov_lo = 0 if start_tsr else 1
+        self.n_adof = model.n_dof
         self.dt = 1.0 / (self.n_points - 1)
         self.lambda_ = lambda_
         self.epsilon = epsilon
@@ -345,8 +464,22 @@ class OracleChomp:
                       np.asarray(p, dtype=float)) for d, l, p in sdfs]
         self.lo = np.asarray(jlimit_lower, dtype=float)
         self.hi = np.asarray(jlimit_upper, dtype=float)
+        self.use_momentum = bool(use_momentum)
+        self.AG = np.zeros((self.m, self.n))
+        self.leapfrog_first = True
+        self.constraints = [
+            (int(i), tuple(bool(b) for b in en),
+             np.asarray(t0w, dtype=float), np.asarray(twe, dtype=float))
+            for i, en, t0w, twe in constraints]
+        self.ee_origin = (np.asarray(ee_origin, dtype=float)
+                          if ee_origin is not None
+                          else (model.ee_origin if model.ee_origin is not None
+                                else np.array([0, 0, 0, 0, 0, 0, 1.0])))
 
-        act = model.sphere_active_mask()
+        if floating_base:
+            act = np.ones(len(model.sphere_link), dtype=bool)
+        else:
+            act = model.sphere_active_mask()
         self.order = np.concatenate([np.where(act)[0], np.where(~act)[0]])
         self.n_act = int(act.sum())
         self.radii = model.sphere_radius[self.order]
@@ -354,21 +487,41 @@ class OracleChomp:
 
         A, B, trC, _, _ = build_KEs(
             self.m, self.n, self.dt, D,
-            [self.traj[0]] + [np.zeros(self.n)] * (D - 1),
+            [None if start_tsr else self.traj[0]]
+            + [np.zeros(self.n)] * (D - 1),
             [self.traj[-1]] + [np.zeros(self.n)] * (D - 1))
         self.A = A
         self.B = B
         self.trC = trC
         self.Ainv = np.linalg.inv(A)
 
-        # fixed inactive sphere positions at the *current* robot config
-        poses, _ = fk_link_poses(model, np.zeros(model.n_dof),
-                                 self.robot_pose)
-        # note: oracle callers must set q_frozen/model state as needed;
-        # inactive positions use the trajectory start configuration
-        poses, _ = fk_link_poses(model, self.traj[0], self.robot_pose)
+        # fixed inactive sphere positions at the trajectory start config
+        q0 = self.traj[0, 7:] if floating_base else self.traj[0]
+        base0 = self.traj[0, :7] if floating_base else self.robot_pose
+        poses, _ = fk_link_poses(model, q0, base0)
         self.inactive_pos = sphere_positions(
             model, poses, self.order[self.n_act:])
+
+    # -- helpers --
+
+    def _config(self, row):
+        """(q_active, base_pose) of one trajectory row."""
+        if self.floating_base:
+            return row[7:], row[:7]
+        return row, self.robot_pose
+
+    def _full_jac(self, row, anchors, x, link_index):
+        """3×n point Jacobian incl. the damped floating-base block
+        (orcdchomp_mod.cpp:1047-1086)."""
+        Ja = sphere_jacobian(self.model, anchors, x, link_index)
+        if not self.floating_base:
+            return Ja
+        Jsp = pose_jac(row[:7])
+        rx = np.array([[0.0, x[2], -x[1]],
+                       [-x[2], 0.0, x[0]],
+                       [x[1], -x[0], 0.0]])   # cross-matrix of −x
+        base = 0.01 * (rx @ Jsp[:3] + Jsp[3:])
+        return np.concatenate([base, Ja], axis=1)
 
     # -- cost_pre (orcdchomp_mod.cpp:968-1132) --
 
@@ -377,19 +530,74 @@ class OracleChomp:
         x_all = np.zeros((np_, S, 3))
         jacs = np.zeros((self.m, S, 3, self.n))
         for ti in range(np_):
-            poses, anchors = fk_link_poses(
-                self.model, self.traj[ti], self.robot_pose)
+            q, base = self._config(self.traj[ti])
+            poses, anchors = fk_link_poses(self.model, q, base)
             x_all[ti] = sphere_positions(self.model, poses,
                                          self.order[:S])
-            ti_mov = ti - 1
+            ti_mov = ti if self.start_tsr else ti - 1
             if 0 <= ti_mov < self.m:
                 for s in range(S):
-                    jacs[ti_mov, s] = sphere_jacobian(
-                        self.model, anchors, x_all[ti, s],
+                    jacs[ti_mov, s] = self._full_jac(
+                        self.traj[ti], anchors, x_all[ti, s],
                         int(self.links[s]))
-        vel = (x_all[2:] - x_all[:-2]) / (2 * self.dt)
-        acc = (x_all[:-2] - 2 * x_all[1:-1] + x_all[2:]) / self.dt ** 2
+        internal_vel = (x_all[2:] - x_all[:-2]) / (2 * self.dt)
+        internal_acc = (x_all[:-2] - 2 * x_all[1:-1] + x_all[2:]) \
+            / self.dt ** 2
+        if self.start_tsr:
+            # start point moves: one-sided start vel, copied start acc
+            # (orcdchomp_mod.cpp:1099-1127)
+            v0 = (x_all[1:2] - x_all[0:1]) / self.dt
+            vel = np.concatenate([v0, internal_vel], axis=0)
+            acc = np.concatenate([internal_acc[0:1], internal_acc], axis=0)
+        else:
+            vel = internal_vel
+            acc = internal_acc
         return x_all, vel, acc, jacs
+
+    # -- TSR constraint evaluation (con_tsr, orcdchomp_mod.cpp:1330-1497) --
+
+    def _con_eval(self, ci, point):
+        pt_idx, enabled, T0w, Twe = self.constraints[ci]
+        q, base = self._config(point)
+        poses, anchors = fk_link_poses(self.model, q, base)
+        ee_pose = p_mul(poses[self.model.ee_link], self.ee_origin)
+        pose_obj = p_mul(ee_pose, p_inv(Twe))
+        pose_table_world = p_inv(T0w)
+        pto = p_mul(pose_table_world, pose_obj)
+        xyzypr = pose_to_xyzypr(pto)
+        rows = [tsri if tsri < 3 else 8 - tsri
+                for tsri in range(6) if enabled[tsri]]
+        val = np.array([xyzypr[rr] for rr in rows])
+
+        # spatial jacobian of the ee link about the world origin
+        spa = np.zeros((6, self.n))
+        off = 0
+        if self.floating_base:
+            spa[:, :7] = pose_jac(point[:7])
+            off = 7
+        # ancestor mask of the ee link
+        mask = np.zeros(self.n_adof, dtype=bool)
+        j = self.model.ee_link
+        while j > 0:
+            d = int(self.model.dof_index[j])
+            if d >= 0:
+                mask[d] = True
+            j = int(self.model.parent[j])
+        for d in range(self.n_adof):
+            if not mask[d]:
+                continue
+            li = [i for i in range(len(self.model.link_names))
+                  if self.model.dof_index[i] == d][0]
+            axis_w = q_rot(anchors[d][3:], self.model.axis[li])
+            if self.model.jtype[li] == 1:     # revolute
+                spa[:3, off + d] = axis_w
+                spa[3:, off + d] = np.cross(axis_w, -anchors[d][:3])
+            else:                              # prismatic
+                spa[3:, off + d] = axis_w
+        full = pose_to_xyzypr_J(pto) @ pose_jac_inverse(pto) \
+            @ xm_from_pose(pose_table_world) @ spa
+        J = np.stack([full[rr] for rr in rows])
+        return val, J
 
     # -- sphere_cost (orcdchomp_mod.cpp:1134-1327) --
 
@@ -397,7 +605,7 @@ class OracleChomp:
         S = self.n_act
         cost = 0.0
         grad = np.zeros(self.n)
-        x_mov = x_all[ti + 1]
+        x_mov = x_all[ti + self.mov_lo]
         for s in range(S):
             cost_sphere = 0.0
             v = vel[ti, s]
@@ -477,10 +685,17 @@ class OracleChomp:
             cost += cost_sphere
         return cost, grad
 
+    def resample_momentum(self, noise):
+        """HMC momentum resample with *injected* noise (the reference
+        draws AG ~ N(0, 1/√α) from GSL, orcdchomp_mod.cpp:2754-2765;
+        parity tests inject the identical noise into both sides)."""
+        self.AG = np.asarray(noise, dtype=float).copy()
+        self.leapfrog_first = True
+
     def iterate(self, do_iteration=True):
         """One cd_chomp_iterate; returns (total, obs, smooth)."""
         m, n = self.m, self.n
-        T = self.traj[1:-1]  # view
+        T = self.traj[self.mov_lo:self.mov_lo + m]  # view
         x_all, vel, acc, jacs = self._kinematics()
         cost_obs = 0.0
         G = np.zeros((m, n))
@@ -492,7 +707,41 @@ class OracleChomp:
         G /= m
         if do_iteration:
             G += self.A @ T + self.B
-            AG = self.Ainv @ G
+            if not self.use_momentum:
+                AG = self.Ainv @ G
+            else:
+                # leapfrog half-step on first use (chomp.c:533-548)
+                scale = (0.5 if self.leapfrog_first else 1.0) / self.lambda_
+                self.AG = self.AG + scale * (self.Ainv @ G)
+                self.leapfrog_first = False
+                AG = self.AG
+
+            # constraint projection (chomp.c:553-600)
+            if self.constraints:
+                hs, Js = [], []
+                for ci, (pi, _, _, _) in enumerate(self.constraints):
+                    h, J = self._con_eval(ci, self.traj[self.mov_lo + pi])
+                    h = h - (1.0 / self.lambda_) * (J @ AG[pi])
+                    hs.append(h)
+                    Js.append(J)
+                ks = [len(h) for h in hs]
+                K = sum(ks)
+                JAJT = np.zeros((K, K))
+                o1 = 0
+                for c1, (p1, *_r1) in enumerate(self.constraints):
+                    o2 = 0
+                    for c2, (p2, *_r2) in enumerate(self.constraints):
+                        JAJT[o1:o1 + ks[c1], o2:o2 + ks[c2]] = \
+                            self.Ainv[p1, p2] * (Js[c1] @ Js[c2].T)
+                        o2 += ks[c2]
+                    o1 += ks[c1]
+                x = np.linalg.solve(JAJT, np.concatenate(hs))
+                o1 = 0
+                for c1, (p1, *_r1) in enumerate(self.constraints):
+                    delta = Js[c1].T @ x[o1:o1 + ks[c1]]
+                    T -= np.outer(self.Ainv[:, p1], delta)
+                    o1 += ks[c1]
+
             T -= AG / self.lambda_
             # joint limits
             for _ in range(1000):
@@ -511,6 +760,13 @@ class OracleChomp:
                     break
                 GjA = self.Ainv @ Gj
                 T += 1.01 * Gj.flat[li] / GjA.flat[li] * GjA
+        # smooth cost on the updated (pre-renorm) trajectory — the
+        # reference computes it at the end of cd_chomp_iterate
+        # (chomp.c:660-677); the quaternion renorm happens afterwards
+        # in mod::iterate (orcdchomp_mod.cpp:2805-2808)
         cost_smooth = np.trace(0.5 * T.T @ self.A @ T + self.B.T @ T) \
             + self.trC
+        if do_iteration and self.floating_base:
+            for i in range(self.n_points):
+                self.traj[i, :7] = p_normalize(self.traj[i, :7])
         return cost_obs + cost_smooth, cost_obs, cost_smooth

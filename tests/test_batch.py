@@ -109,3 +109,34 @@ def test_chunked_iterate_matches_flat(setup):
     p2, c2 = chunked.iterate(probs, 5)
     np.testing.assert_array_equal(np.asarray(p1.traj), np.asarray(p2.traj))
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_solve_convergence_tol_early_stop(setup):
+    """solve(tol=...) early-stops when every problem's per-chunk cost
+    improvement drops below tol, and the early-stopped answer equals
+    running the same number of iterations directly (the collective
+    convergence reduction of BASELINE.json)."""
+    mod, run, goal = setup
+    probs, _, _ = _batch(run, goal, 4)
+    solver = BatchSolver(run.engine)
+
+    # huge tol: converged after the first chunk
+    out1, finals1, done1 = solver.solve(probs, n_iter=40, chunk=5, tol=1e9)
+    assert done1 == 5
+
+    # tiny tol: never converges, runs the full budget
+    out2, finals2, done2 = solver.solve(probs, n_iter=20, chunk=5, tol=-1.0)
+    assert done2 == 20
+
+    # realistic tol: stops somewhere in between, and the result equals
+    # a direct run of exactly `done` iterations
+    out3, finals3, done3 = solver.solve(probs, n_iter=200, chunk=5,
+                                        tol=0.05)
+    assert 5 <= done3 < 200
+    direct = solver.shard(probs)
+    direct, _ = solver.iterate(direct, done3)
+    np.testing.assert_allclose(np.asarray(out3.traj),
+                               np.asarray(direct.traj), atol=1e-12)
+    finals_direct = run.engine.final_costs_batch(direct)
+    np.testing.assert_allclose(np.asarray(finals3[:, 0]),
+                               np.asarray(finals_direct[0]), rtol=1e-12)

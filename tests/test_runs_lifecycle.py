@@ -98,3 +98,44 @@ def test_starttraj_resampling(world):
     # uniform resampling of a straight line stays on the line
     np.testing.assert_allclose(t[4], 0.5 * (rows[0] + rows[-1]), atol=1e-9)
     mod.destroy(run=h)
+
+
+def test_masked_iterate_matches_static_and_compiles_once(world):
+    """api.iterate drives the masked fixed-chunk executable: results
+    are bit-identical to the static-length scan, and varying n_iter /
+    max_time patterns reuse ONE compiled executable per engine
+    (the n_iter-recompile fix)."""
+    mod = world
+    h1 = mod.create(robot="wam", adofgoal=GOAL, lambda_=100.0, n_points=9,
+                    seed=3)
+    h2 = mod.create(robot="wam", adofgoal=GOAL, lambda_=100.0, n_points=9,
+                    seed=3)
+    rn1, rn2 = mod.runs[h1], mod.runs[h2]
+    engine = rn1.engine
+    assert engine is rn2.engine   # same static structure → shared engine
+
+    # the jit cache is class-level (shared across engines); count only
+    # the entries THIS test adds
+    cache_before = type(engine).iterate_masked._cache_size()
+
+    # drive run 1 through mixed n_iter patterns via the api
+    c1 = mod.iterate(run=h1, n_iter=5)
+    c1 = mod.iterate(run=h1, n_iter=17)   # crosses a chunk boundary
+    c1 = mod.iterate(run=h1, n_iter=2, max_time=1e9)
+
+    # drive run 2 with the static-length scans (the bench path)
+    for n in (5, 17, 2):
+        rn2.problem, _ = engine.iterate(rn2.problem, n)
+
+    np.testing.assert_allclose(np.asarray(rn1.problem.traj),
+                               np.asarray(rn2.problem.traj), atol=1e-12)
+    np.testing.assert_allclose(c1, float(jnp.stack(
+        engine.costs_only_jit(rn2.problem))[0]), rtol=1e-12)
+
+    # one executable: despite 3 distinct n_iter patterns, this test
+    # adds at most ONE iterate_masked cache entry (the valid count is a
+    # traced scalar, so n_iter never specializes the executable)
+    added = type(engine).iterate_masked._cache_size() - cache_before
+    assert added <= 1, f"iterate_masked compiled {added} times"
+    mod.destroy(run=h1)
+    mod.destroy(run=h2)
