@@ -457,13 +457,21 @@ class CHOMPModule:
         grid_pose = np_pose.POSE_ID.copy()
         grid_pose[:3] = center - 0.5 * lengths
 
+        # SDF build phase timing (the reference times voxelize/flood/
+        # EDT unconditionally, orcdchomp_mod.cpp:459-565); exposed as
+        # module.sdf_timers for observability
+        from or_cdchomp_tpu.utils.profiling import PhaseTimers
+        timers = PhaseTimers()
+        self.sdf_timers = timers
         grid = None
         if cache_filename:
             # raw-bytes cache with size validation, the reference's
             # cache format (orcdchomp_mod.cpp:416-444)
             from or_cdchomp_tpu.native import grid_cache_read
-            data = grid_cache_read(cache_filename, tuple(int(s) for s in sizes),
-                                   dtype=np.float32)
+            with timers.tic("cache_read"):
+                data = grid_cache_read(cache_filename,
+                                       tuple(int(s) for s in sizes),
+                                       dtype=np.float32)
             if data is not None:
                 grid = Grid3D(data=jnp.asarray(data, dtype=jnp.float32),
                               lengths=jnp.asarray(lengths, jnp.float32))
@@ -471,12 +479,14 @@ class CHOMPModule:
             if require_cache:
                 raise RuntimeError(
                     "Field not found from cache, but require_cache flag set!")
-            grid = self._build_sdf_grid(name, body, grid_pose, sizes, lengths,
-                                        cube_extent)
+            with timers.tic("sdf_build"):
+                grid = self._build_sdf_grid(name, body, grid_pose, sizes,
+                                            lengths, cube_extent)
             if cache_filename:
                 from or_cdchomp_tpu.native import grid_cache_write
-                grid_cache_write(cache_filename,
-                                 np.asarray(grid.data, dtype=np.float32))
+                with timers.tic("cache_write"):
+                    grid_cache_write(cache_filename,
+                                     np.asarray(grid.data, dtype=np.float32))
 
         self.sdfs.append(SdfEntry(kinbody_name=name, grid=grid,
                                   pose=grid_pose))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,11 +86,24 @@ def eval_tsr_all(spec: ChompSpec, fk, prob: ChompProblem, T_full,
 
     Returns (val (C, 6), jac (C, 6, n)).
     """
-    idx = jnp.asarray(cons.point_idx)
-    # constraint points index *moving* points; map to full-trajectory rows
-    full_idx = idx if spec.start_tsr else idx + 1
+    # constraint points index *moving* points; map to full-trajectory
+    # rows.  point_idx is STATIC: when contiguous (everyn, or any single
+    # point) gather rows with a static slice — a fancy-index gather
+    # batched over problems serializes per element on TPU and dominated
+    # the config-4 step (~9 of 10 ms) before this
+    off = 0 if spec.start_tsr else 1
+    idx_t = tuple(cons.point_idx)
+    lo = idx_t[0] + off
+    if idx_t == tuple(range(idx_t[0], idx_t[0] + len(idx_t))):
+        def take_rows(arr):
+            return jax.lax.slice_in_dim(arr, lo, lo + len(idx_t), axis=0)
+    else:
+        full_idx = jnp.asarray(idx_t) + off
 
-    ee_link_pose = fk.link_pose_red(kin.red_poses[full_idx],
+        def take_rows(arr):
+            return arr[full_idx]
+
+    ee_link_pose = fk.link_pose_red(take_rows(kin.red_poses),
                                     fk.model.ee_link)           # (C, 7)
     ee_origin = jnp.asarray(fk.model.ee_origin if fk.model.ee_origin
                             is not None else np.array([0, 0, 0, 0, 0, 0, 1.0]),
@@ -102,7 +116,7 @@ def eval_tsr_all(spec: ChompSpec, fk, prob: ChompProblem, T_full,
     val = xyzypr[:, _DIM_MAP]                                   # Bw row order
 
     # --- spatial Jacobian of the ee *link* about the world origin ---
-    anchors = kin.anchors[full_idx]                             # (C, n_dof, 7)
+    anchors = take_rows(kin.anchors)                            # (C, n_dof, 7)
     axis_local = jnp.stack(
         [fk._axis[fk._dof_link[d]] for d in range(fk.n_dof)]) \
         if fk.n_dof else jnp.zeros((0, 3), ee_link_pose.dtype)
@@ -121,17 +135,23 @@ def eval_tsr_all(spec: ChompSpec, fk, prob: ChompProblem, T_full,
         axis=-2)                                                # (C, 6, n_dof)
 
     if spec.floating_base:
-        base_cols = sp.pose_jac(T_full[full_idx, :7])           # (C, 6, 7)
+        base_cols = sp.pose_jac(take_rows(T_full)[:, :7])       # (C, 6, 7)
         spajac = jnp.concatenate([base_cols, arm_spajac], axis=-1)
     else:
         spajac = arm_spajac                                     # (C, 6, n)
 
     # chain: xyzypr_J · pose_jac_inverse · Xm(table←world) · spajac
-    # (orcdchomp_mod.cpp:1466-1481)
+    # (orcdchomp_mod.cpp:1466-1481).  Contractions are broadcast-sum,
+    # not batched @: (C,6,7)@(C,7,6)-style K≈6 batched dots lower to
+    # thousands of underfilled MXU passes under the problem vmap.
     xm_tw = sp.xm_from_pose(prob.tsr_T0w_inv)                   # (C, 6, 6)
     jac_inv = sp.pose_jac_inverse(pose_table_obj)               # (C, 7, 6)
     to_ypr = qt.pose_to_xyzypr_J(pose_table_obj)                # (C, 6, 7)
-    full = to_ypr @ jac_inv @ xm_tw @ spajac                    # (C, 6, n)
+
+    def bmm(a, b):
+        return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+    full = bmm(bmm(bmm(to_ypr, jac_inv), xm_tw), spajac)        # (C, 6, n)
     jac = full[:, _DIM_MAP, :]
     return val, jac
 
@@ -146,6 +166,46 @@ def project_constraints(spec: ChompSpec, cons: TSRConstraintSet, engine,
     """
     if cons.k_total == 0:
         return jnp.zeros_like(T_mov)
+    pts_t = tuple(cons.point_idx)
+    C = cons.n_constraints
+    contiguous = pts_t == tuple(range(pts_t[0], pts_t[0] + C))
+    uniform = len(set(cons.enabled)) == 1
+
+    if uniform:
+        # gather-free fast path (covers everyn/start/single-TSR runs —
+        # every constraint enables the same dims): constraint rows stay
+        # in (C, k) blocks, point rows come from a static slice, and
+        # the static row/column index sets on the constant A⁻¹ fold at
+        # compile time.  Batched fancy-index gathers here serialized
+        # per element on TPU (most of the round-2 config-4 step).
+        dims = [d for d in range(6) if cons.enabled[0][d]]
+        k = len(dims)
+        h0 = val[:, dims]                         # (C, k) — static slices
+        J = jac[:, dims, :]                       # (C, k, n)
+        if contiguous:
+            AGp = jax.lax.slice_in_dim(AG, pts_t[0], pts_t[0] + C, axis=0)
+        else:
+            AGp = AG[jnp.asarray(pts_t)]
+        # h += −(1/λ) J · AG[pt]  (chomp.c:563-565)
+        h = h0 - (1.0 / lambda_) * jnp.sum(J * AGp[:, None, :], axis=-1)
+
+        # JAJT[(a,i),(b,j)] = Ainv[pt_a, pt_b] · (J_ai · J_bj)
+        # (chomp.c:568-575) — broadcast-sum over n, never a batched dot
+        JJt = jnp.sum(J[:, :, None, None, :] * J[None, None, :, :, :],
+                      axis=-1)                    # (C, k, C, k)
+        pts_np = np.asarray(pts_t)
+        Acc = engine.ainv_block(pts_np)           # (C, C), constant-folded
+        JAJT = (JJt * Acc[:, None, :, None]).reshape(C * k, C * k)
+
+        x = jnp.linalg.solve(JAJT, h.reshape(C * k))   # (chomp.c:579-581)
+
+        # T −= Σ_c Ainv[:, pt_c] ⊗ (J_cᵀ x_c)  (chomp.c:593-599)
+        delta = jnp.sum(J * x.reshape(C, k)[:, :, None], axis=1)  # (C, n)
+        cols = engine.ainv_cols(pts_np)           # (m, C), constant-folded
+        correction = -jnp.sum(cols[:, :, None] * delta[None, :, :], axis=1)
+        return correction
+
+    # general path: per-row gathers (mixed enabled masks)
     rows_c = jnp.asarray([r[0] for r in cons.rows])
     rows_d = jnp.asarray([r[1] for r in cons.rows])
     idx = jnp.asarray(cons.point_idx)
@@ -157,12 +217,16 @@ def project_constraints(spec: ChompSpec, cons: TSRConstraintSet, engine,
     # h += −(1/λ) J · AG[pt]  (chomp.c:563-565)
     h = h - (1.0 / lambda_) * jnp.sum(J * AG[row_pt], axis=-1)
 
-    # JAJT[a,b] = Ainv[pt_a, pt_b] · (J_a · J_b)  (chomp.c:568-575)
-    JJt = J @ J.T
-    JAJT = JJt * engine.ainv_block(row_pt)
+    # JAJT[a,b] = Ainv[pt_a, pt_b] · (J_a · J_b)  (chomp.c:568-575);
+    # K×K over a small n contraction — broadcast-sum, not a batched dot
+    JJt = jnp.sum(J[:, None, :] * J[None, :, :], axis=-1)
+    JAJT = JJt * engine.ainv_block(np.asarray([pts_t[int(c)]
+                                               for c, _ in cons.rows]))
 
     x = jnp.linalg.solve(JAJT, h)                 # (chomp.c:579-581 dgesv)
 
     # T −= Σ_k Ainv[:, pt_k] ⊗ (J_k x_k)  (chomp.c:593-599)
-    correction = -jnp.einsum("mk,k,kn->mn", engine.ainv_cols(row_pt), x, J)
+    cols = engine.ainv_cols(np.asarray([pts_t[int(c)]
+                                        for c, _ in cons.rows]))
+    correction = -jnp.einsum("mk,k,kn->mn", cols, x, J)
     return correction

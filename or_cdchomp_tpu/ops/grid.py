@@ -258,6 +258,11 @@ def _lookup_onehot2(flat, idx, strides, dtype):
     qi = idx.reshape(-1)
     hi = qi // L
     lo = qi - hi * L
+    # NB: a split-bf16 two-pass variant (exact one-hots, D split into
+    # bf16 value+residual) was measured 2.4x SLOWER end to end — the
+    # second dot breaks XLA's fusion of the hi-select into the matmul
+    # consumer and the (Q, 7H) intermediates hit HBM twice.  The single
+    # dot below stays fused and exact.
     oh_lo = (lo[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]
              ).astype(dtype)
     T = jnp.dot(oh_lo, D.astype(dtype),
@@ -326,14 +331,24 @@ def multigrid_interp_grad(data, sizes, lengths, p, method="auto"):
                     for v in vals4)
         vn3 = jnp.stack(vns, axis=-1)                # (..., F, 3)
     else:
-        flat = data.reshape(-1)
-        fidx = jnp.arange(f, dtype=jnp.int32)
-        idx = ((fidx * mx + sub[..., 0]) * my + sub[..., 1]) * mz \
-            + sub[..., 2]
+        # per-field lookups: one (query, field) row must only contract
+        # against its OWN field's table — a single stacked-table one-hot
+        # makes the matmul F² in the field count (every row spans every
+        # field's cells), which is exactly why the multi-SDF config ran
+        # 3.3x slower than single-SDF in round 2
+        idx_local = (sub[..., 0] * my + sub[..., 1]) * mz + sub[..., 2]
         strides = (my * mz, mz, 1)
         lookup = {"onehot": _lookup_onehot,
                   "onehot2": _lookup_onehot2}.get(method, _lookup_gather)
-        vals = lookup(flat, idx, strides, p.dtype)   # (..., F, 7)
+        if f == 1:
+            # single field: keep the trailing F axis through the lookup
+            # (a post-hoc stack breaks fusion with the select below —
+            # measured 1.4x slower end to end)
+            vals = lookup(data.reshape(-1), idx_local, strides, p.dtype)
+        else:
+            per_field = [lookup(data[fi].reshape(-1), idx_local[..., fi],
+                                strides, p.dtype) for fi in range(f)]
+            vals = jnp.stack(per_field, axis=-2)     # (..., F, 7)
         v0 = vals[..., 0]
         nb = vals[..., 1:].reshape(vals.shape[:-1] + (3, 2))
         vn3 = jnp.where(use_next, nb[..., 0], nb[..., 1])   # (..., F, 3)

@@ -73,7 +73,7 @@ def grid_interp(data, lengths, p):
             s -= 1
         subs.append(s)
     v0 = data[tuple(subs)]
-    if v0 == np.inf:
+    if np.isinf(v0):
         return np.inf
     value = v0
     for ni in range(3):
@@ -90,7 +90,7 @@ def grid_interp(data, lengths, p):
         # grid.c:428-443: diff always uses the *grid* values at the
         # original index and its neighbor (value_after - value_before),
         # never the running accumulated value; HUGE_VAL propagates.
-        if data[tuple(nb)] == np.inf:
+        if np.isinf(data[tuple(nb)]):
             return np.inf
         diff = (data[tuple(nb)] - v0) if use_next else (v0 - data[tuple(nb)])
         grad = diff * sizes[ni] / lengths[ni]
@@ -122,6 +122,8 @@ def grid_grad(data, lengths, p):
         nb = list(subs)
         nb[ni] = s + (1 if use_next else -1)
         v0 = data[tuple(subs)]
+        if np.isinf(v0) or np.isinf(data[tuple(nb)]):
+            return np.zeros(3)   # HUGE_VAL query: zero grad (grid.c:405-439)
         diff = (data[tuple(nb)] - v0) if use_next else (v0 - data[tuple(nb)])
         out[ni] = diff * sizes[ni] / lengths[ni]
     return out
