@@ -53,6 +53,112 @@ def _spd_solve(M, b):
                                              trans=1)[..., 0]
 
 
+def _chol_unrolled(S, k):
+    """Cholesky of a (k, k) block as k² unrolled scalar ops (k is
+    static and ≤6; jnp.linalg.cholesky on tiny matrices lowers to a
+    serialized blocked loop that cannot fuse into the scan body)."""
+    L = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            acc = S[..., i, j]
+            for t in range(j):
+                acc = acc - L[i][t] * L[j][t]
+            L[i][j] = jnp.sqrt(acc) if i == j else acc / L[j][j]
+    return L
+
+
+def _fwd_sub(L, b, k):
+    """y = L⁻¹ b, unrolled; b is a list of k scalars."""
+    y = [None] * k
+    for i in range(k):
+        acc = b[i]
+        for t in range(i):
+            acc = acc - L[i][t] * y[t]
+        y[i] = acc / L[i][i]
+    return y
+
+
+def _bwd_sub(L, b, k):
+    """x = L⁻ᵀ b, unrolled."""
+    x = [None] * k
+    for i in reversed(range(k)):
+        acc = b[i]
+        for t in range(i + 1, k):
+            acc = acc - L[t][i] * x[t]
+        x[i] = acc / L[i][i]
+    return x
+
+
+def _sss_solve(J, h, alpha, beta):
+    """Exact O(C) solve of (Ainv ∘ JJᵀ) x = h for the D=1 metric.
+
+    The default metric's inverse is semiseparable:
+    Ainv[a, b] = α_min(a,b) · β_max(a,b) with α_p = dt²(p+1),
+    β_p = m − p (metric.sep_ainv_entries).  The projection system's
+    blocks therefore factor as M_ab = (α_a J_a)(β_b J_b)ᵀ for a ≤ b —
+    a symmetric block-quasiseparable matrix of generator rank n.  Its
+    Cholesky factor inherits the structure: G_ab = V_a Z_bᵀ (a > b)
+    with V_a = β_a J_a and per-block (k, k) diagonal factors, so the
+    factorization + both triangular solves run as two lax.scans over
+    the C constraint points carrying only an (n, n) accumulator — no
+    (C·k)² matrix is ever built and no dense factorization runs.  This
+    replaced a batched (256, 100, 100) Cholesky measured at 3.8 ms/iter
+    (LU: 9.4) on the everyn-TSR bench.  Exact same math as the
+    reference's dgesv solve (chomp.c:579-581), reorganized.
+
+    J: (C, k, n); h: (C, k); alpha, beta: (C,).  Returns x (C, k).
+    """
+    C, k, n = J.shape
+
+    def fwd(carry, inp):
+        P, s = carry                             # (n, n), (n,)
+        Jb, hb, al, be = inp
+        Vb = be * Jb                             # (k, n)
+        # all contractions are broadcast-sum over n (tiny-K batched
+        # dots lower to underfilled MXU passes)
+        PV = jnp.sum(P[:, None, :] * Vb[None, :, :], axis=-1)   # (n, k)
+        JJ = jnp.sum(Jb[:, None, :] * Jb[None, :, :], axis=-1)  # (k, k)
+        VPV = jnp.sum(Vb[:, None, :] * PV.T[None, :, :], axis=-1)
+        S = al * be * JJ - VPV                   # (k, k) Schur block
+        L = _chol_unrolled(S, k)
+        # Zᵀ = (Ubᵀ − P Vbᵀ) L⁻ᵀ, column-unrolled   (n, k)
+        W = al * Jb.T - PV                       # Ubᵀ − P Vbᵀ  (n, k)
+        Zcols = [None] * k
+        for j in range(k):
+            acc = W[:, j]
+            for t in range(j):
+                acc = acc - L[j][t] * Zcols[t]
+            Zcols[j] = acc / L[j][j]
+        ZT = jnp.stack(Zcols, axis=-1)           # (n, k)
+        fb = hb - jnp.sum(Vb * s[None, :], axis=-1)
+        y = _fwd_sub(L, [fb[i] for i in range(k)], k)
+        yv = jnp.stack(y, axis=-1)               # (k,)
+        s2 = s + jnp.sum(ZT * yv[None, :], axis=-1)
+        P2 = P + jnp.sum(ZT[:, None, :] * ZT[None, :, :], axis=-1)
+        Lr = jnp.stack([jnp.stack([L[i][j] if j <= i else
+                                   jnp.zeros_like(L[i][i])
+                                   for j in range(k)]) for i in range(k)])
+        return (P2, s2), (Lr, ZT, Vb, yv)
+
+    P0 = jnp.zeros((n, n), J.dtype)
+    s0 = jnp.zeros((n,), J.dtype)
+    _, (Ls, ZTs, Vs, ys) = jax.lax.scan(
+        fwd, (P0, s0), (J, h, alpha.astype(J.dtype), beta.astype(J.dtype)))
+
+    def bwd(t, inp):
+        Lr, ZT, Vb, yv = inp
+        L = [[Lr[i, j] for j in range(k)] for i in range(k)]
+        g = yv - jnp.sum(ZT * t[:, None], axis=0)          # (k,)
+        x = _bwd_sub(L, [g[i] for i in range(k)], k)
+        xv = jnp.stack(x, axis=-1)
+        t2 = t + jnp.sum(Vb * xv[:, None], axis=0)         # (n,)
+        return t2, xv
+
+    t0 = jnp.zeros((n,), J.dtype)
+    _, xs = jax.lax.scan(bwd, t0, (Ls, ZTs, Vs, ys), reverse=True)
+    return xs                                              # (C, k)
+
+
 class TSRConstraintSet(NamedTuple):
     """Static layout of all active TSR constraints.
 
@@ -204,15 +310,24 @@ def project_constraints(spec: ChompSpec, cons: TSRConstraintSet, engine,
         # h += −(1/λ) J · AG[pt]  (chomp.c:563-565)
         h = h0 - (1.0 / lambda_) * jnp.sum(J * AGp[:, None, :], axis=-1)
 
-        # JAJT[(a,i),(b,j)] = Ainv[pt_a, pt_b] · (J_ai · J_bj)
-        # (chomp.c:568-575) — broadcast-sum over n, never a batched dot
-        JJt = jnp.sum(J[:, :, None, None, :] * J[None, None, :, :, :],
-                      axis=-1)                    # (C, k, C, k)
         pts_np = np.asarray(pts_t)
-        Acc = engine.ainv_block(pts_np)           # (C, C), constant-folded
-        JAJT = (JJt * Acc[:, None, :, None]).reshape(C * k, C * k)
-
-        x = _spd_solve(JAJT, h.reshape(C * k))    # (chomp.c:579-581)
+        from or_cdchomp_tpu.chomp import metric as metric_mod
+        sss_ok = (metric_mod.sep_eligible(spec.D, not spec.start_tsr)
+                  and C >= 4 and np.all(np.diff(pts_np) >= 0))
+        if sss_ok:
+            # semiseparable Ainv ⇒ block-quasiseparable system: exact
+            # O(C) scan solve, never building the (C·k)² matrix
+            alpha = jnp.asarray((spec.dt * spec.dt) * (pts_np + 1.0))
+            beta = jnp.asarray(float(spec.m) - pts_np)
+            x = _sss_solve(J, h, alpha, beta).reshape(C * k)
+        else:
+            # JAJT[(a,i),(b,j)] = Ainv[pt_a, pt_b] · (J_ai · J_bj)
+            # (chomp.c:568-575) — broadcast-sum over n, not a batched dot
+            JJt = jnp.sum(J[:, :, None, None, :] * J[None, None, :, :, :],
+                          axis=-1)                # (C, k, C, k)
+            Acc = engine.ainv_block(pts_np)       # (C, C), constant-folded
+            JAJT = (JJt * Acc[:, None, :, None]).reshape(C * k, C * k)
+            x = _spd_solve(JAJT, h.reshape(C * k))   # (chomp.c:579-581)
 
         # T −= Σ_c Ainv[:, pt_c] ⊗ (J_cᵀ x_c)  (chomp.c:593-599)
         delta = jnp.sum(J * x.reshape(C, k)[:, :, None], axis=1)  # (C, n)

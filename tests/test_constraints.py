@@ -121,3 +121,53 @@ def test_projection_reduces_constraint_value(world):
     v_after = max_violation(rn.problem)
     assert v_after < 0.5 * v_before, (v_before, v_after)
     mod.destroy(run=h)
+
+
+def test_sss_solve_matches_dense():
+    """The O(C) quasiseparable scan solve equals the dense
+    (Ainv ∘ JJᵀ)⁻¹ solve for the D=1 metric (it is the same Cholesky,
+    factored through the semiseparable generators)."""
+    from or_cdchomp_tpu.chomp import metric as metric_mod
+    from or_cdchomp_tpu.chomp.constraints import _sss_solve
+
+    rng = np.random.default_rng(3)
+    m, dt, n, k = 23, 1.0 / 24, 9, 3
+    pts = np.arange(m)
+    C = len(pts)
+    J = jnp.asarray(rng.normal(size=(C, k, n)))
+    h = jnp.asarray(rng.normal(size=(C, k)))
+    Acc = np.asarray(metric_mod.sep_ainv_entries(pts[:, None], pts[None, :],
+                                                 m, dt))
+    JJt = np.einsum("aip,bjp->aibj", np.asarray(J), np.asarray(J))
+    M = (JJt * Acc[:, None, :, None]).reshape(C * k, C * k)
+    x_dense = np.linalg.solve(M, np.asarray(h).reshape(-1))
+
+    alpha = jnp.asarray((dt * dt) * (pts + 1.0))
+    beta = jnp.asarray(float(m) - pts)
+    x_sss = np.asarray(_sss_solve(J, h, alpha, beta)).reshape(-1)
+    np.testing.assert_allclose(x_sss, x_dense, rtol=1e-8, atol=1e-9)
+
+
+def test_sss_solve_nonuniform_points():
+    """Non-contiguous (but sorted) point subsets keep the
+    semiseparable factorization exact (min/max generators only need
+    ordering, not contiguity)."""
+    from or_cdchomp_tpu.chomp import metric as metric_mod
+    from or_cdchomp_tpu.chomp.constraints import _sss_solve
+
+    rng = np.random.default_rng(5)
+    m, dt, n, k = 40, 1.0 / 41, 14, 2
+    pts = np.array([0, 3, 4, 11, 12, 30, 39])
+    C = len(pts)
+    J = jnp.asarray(rng.normal(size=(C, k, n)))
+    h = jnp.asarray(rng.normal(size=(C, k)))
+    Acc = np.asarray(metric_mod.sep_ainv_entries(pts[:, None], pts[None, :],
+                                                 m, dt))
+    JJt = np.einsum("aip,bjp->aibj", np.asarray(J), np.asarray(J))
+    M = (JJt * Acc[:, None, :, None]).reshape(C * k, C * k)
+    x_dense = np.linalg.solve(M, np.asarray(h).reshape(-1))
+
+    alpha = jnp.asarray((dt * dt) * (pts + 1.0))
+    beta = jnp.asarray(float(m) - pts)
+    x_sss = np.asarray(_sss_solve(J, h, alpha, beta)).reshape(-1)
+    np.testing.assert_allclose(x_sss, x_dense, rtol=1e-8, atol=1e-9)
