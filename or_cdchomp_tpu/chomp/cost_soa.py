@@ -1,0 +1,247 @@
+"""Batch-native (structure-of-arrays) obstacle + self-collision cost.
+
+Same math as chomp/cost.py — the per-iteration callback pair of the
+reference (sphere_cost_pre orcdchomp_mod.cpp:968-1132, sphere_cost
+1134-1327) — but computed for the whole problem batch at once with the
+batch axis *minor* and every x/y/z component its own array (see
+ops/soa.py for the layout rationale: the vmapped AoS path leaves TPU
+vector registers ≥94% empty on the hot self-collision / FK / Jᵀ
+tensors).
+
+Scope: the fast path of solver.step_batched — fixed base, no start_tsr
+(floating-base and TSR-constrained problems keep the vmapped AoS path,
+which stays the parity anchor; equivalence of the two paths is pinned
+by tests/test_soa_batch.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from or_cdchomp_tpu.chomp.cost import _VEL_EPS, FieldStack
+from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec
+from or_cdchomp_tpu.ops import soa
+from or_cdchomp_tpu.ops.grid import (
+    _BIG, _lookup_gather, _lookup_onehot2_qlanes, _pick_method)
+
+
+def _components(arr2, n):
+    """(B, n) → tuple of n (B,) arrays."""
+    return tuple(arr2[:, i] for i in range(n))
+
+
+def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
+                  probs: ChompProblem, x, vel, acc, dtype):
+    """SoA obstacle cost + workspace gradient (chomp/cost.py
+    obstacle_cost_grad semantics, orcdchomp_mod.cpp:1134-1246).
+
+    x, vel, acc: vec3 of (m, S, B).  Returns (cost_sphere (m, S, B)
+    pre-summed? no — (c_obs (B,), wgrad vec3 with the ‖ẋ‖ scale)).
+    """
+    m, S, B = x[0].shape
+    F, mx, my, mz = fields.data.shape
+    strides = (my * mz, mz, 1)
+    method = _pick_method(F * mx * my * mz)
+
+    v2 = soa.norm2(vel)
+    vnorm = jnp.sqrt(v2)
+    eps = probs.epsilon                      # (B,)
+    inf = jnp.asarray(jnp.inf, dtype)
+    big = jnp.asarray(_BIG / 2, dtype)
+
+    best_v = None
+    best_g = None
+    for f in range(F):
+        pg = probs.pose_gsdf_world[:, f]     # (B, 7)
+        p = soa.add(soa.qrot(_components(pg[:, 3:], 4), x),
+                    _components(pg[:, :3], 3))          # vec3 (m, S, B)
+        sz = fields.sizes[f]                 # (3,) int32
+        ln = fields.lengths[f]
+        szf = sz.astype(dtype)
+
+        in_b = None
+        sub = []
+        center = []
+        use_next = []
+        for i in range(3):
+            xi = p[i] / ln[i]
+            ok = (xi >= 0.0) & (xi <= 1.0)
+            in_b = ok if in_b is None else (in_b & ok)
+            si = jnp.clip(jnp.floor(xi * szf[i]).astype(jnp.int32),
+                          0, sz[i] - 1)
+            ci = (si.astype(dtype) + 0.5) / szf[i] * ln[i]
+            un = p[i] >= ci
+            un = jnp.where(si == 0, True, un)
+            un = jnp.where(si == sz[i] - 1, False, un)
+            sub.append(si)
+            center.append(ci)
+            use_next.append(un)
+
+        idx = (sub[0] * my + sub[1]) * mz + sub[2]      # (m, S, B)
+        flat = fields.data[f].reshape(-1)
+        if method == "gather":
+            # huge-grid fallback: plain gathers, transposed afterwards
+            vals = _lookup_gather(flat, idx, strides, dtype)  # (m,S,B,7)
+            vals7 = jnp.moveaxis(vals, -1, 0)
+        else:
+            vals7 = _lookup_onehot2_qlanes(flat, idx, strides, dtype)
+            vals7 = vals7.reshape((7, m, S, B))
+        v0 = vals7[0]
+        any_inf = jnp.abs(v0) >= big
+        value = v0
+        g = []
+        for i in range(3):
+            vn = jnp.where(use_next[i], vals7[1 + 2 * i], vals7[2 + 2 * i])
+            any_inf = any_inf | (jnp.abs(vn) >= big)
+            sign = jnp.where(use_next[i], 1.0, -1.0).astype(dtype)
+            gi = sign * (vn - v0) * (szf[i] / ln[i])
+            g.append(gi)
+            value = value + gi * (p[i] - center[i])
+        bad = (~in_b) | any_inf | (~probs.field_enabled[:, f])
+        value = jnp.where(bad, inf, value)
+        g = tuple(jnp.where(bad, 0.0, gi) for gi in g)
+
+        # rotate gradient to world per field, before the min-select
+        pw = probs.pose_world_gsdf[:, f]
+        gw = soa.qrot(_components(pw[:, 3:], 4), tuple(g))
+
+        if best_v is None:
+            best_v, best_g = value, gw
+        else:
+            take = value < best_v                     # strict: first wins ties
+            best_v = jnp.where(take, value, best_v)
+            best_g = tuple(jnp.where(take, a, b)
+                           for a, b in zip(gw, best_g))
+
+    has_field = jnp.isfinite(best_v)
+    dist = jnp.where(has_field, best_v, 0.0)
+    d = dist - radii[None, :, None]                  # radii (S,)
+
+    # hinge cost scaled by workspace speed (orcdchomp_mod.cpp:1201-1205)
+    c_in = probs.obs_factor * (0.5 * eps - d)
+    c_mid = probs.obs_factor * (0.5 / eps) * (d - eps) ** 2
+    cost_sphere = vnorm * jnp.where(d < 0.0, c_in,
+                                    jnp.where(d < eps, c_mid, 0.0))
+    cost_sphere = jnp.where(has_field, cost_sphere, 0.0)
+    c_obs = jnp.sum(cost_sphere, axis=(0, 1))        # (B,)
+
+    # cost-slope scaling (orcdchomp_mod.cpp:1218-1223)
+    slope = jnp.where(d < 0.0, -1.0, jnp.where(d < eps, d / eps - 1.0, 0.0))
+    sc = jnp.where(has_field, slope * vnorm * probs.obs_factor, 0.0)
+    x_grad = soa.scale(best_g, sc)
+
+    # projection off the velocity + curvature (orcdchomp_mod.cpp:1225-1241)
+    safe = vnorm > _VEL_EPS
+    v2s = jnp.where(safe, v2, 1.0)
+    proj = jnp.where(safe, soa.dot(x_grad, vel) / v2s, 0.0)
+    x_grad = soa.sub(x_grad, soa.scale(vel, proj))
+    aproj = jnp.where(safe, soa.dot(acc, vel) / v2s, 0.0)
+    curv = soa.scale(soa.sub(acc, soa.scale(vel, aproj)),
+                     jnp.where(safe, 1.0 / v2s, 0.0))
+    x_grad = soa.sub(x_grad, soa.scale(curv, cost_sphere))
+
+    return c_obs, soa.scale(x_grad, vnorm), vnorm, v2, safe
+
+
+def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
+                 probs: ChompProblem, x_i, vel, vnorm, v2, safe):
+    """SoA all-pairs self-collision (chomp/cost.py
+    self_collision_cost_grad semantics, orcdchomp_mod.cpp:1249-1317).
+
+    x_i, vel: vec3 of (m, Sa, B).  Returns (c_self (B,), net vec3).
+    """
+    m, Sa, B = x_i[0].shape
+    SI = probs.inactive_pos.shape[1]
+    if SI:
+        inact = probs.inactive_pos                   # (B, SI, 3)
+        io = tuple(jnp.broadcast_to(
+            jnp.transpose(inact[:, :, ci])[None], (m, SI, B))
+            for ci in range(3))
+        x_o = tuple(jnp.concatenate([a, b], axis=1)
+                    for a, b in zip(x_i, io))
+    else:
+        x_o = x_i
+
+    eps_s = probs.epsilon_self                       # (B,)
+    xi2 = soa.norm2(x_i)                             # (m, Sa, B)
+    xo2 = soa.norm2(x_o)                             # (m, So, B)
+    xio = sum(a[:, :, None, :] * b[:, None, :, :]
+              for a, b in zip(x_i, x_o))             # (m, Sa, So, B)
+    cdist = jnp.sqrt(jnp.maximum(
+        xi2[:, :, None, :] + xo2[:, None, :, :] - 2.0 * xio, 0.0))
+    rsum = (radii_act[:, None] + radii_all[None, :])[:, :, None]  # (Sa,So,1)
+    pair_ok = (~same_link[:, :, None]) & (cdist <= rsum + eps_s)
+
+    d = cdist - rsum
+    c = jnp.where(d < 0.0, 0.5 * eps_s - d,
+                  (0.5 / eps_s) * (d - eps_s) ** 2)
+    ofv = (probs.obs_factor_self * vnorm)[:, :, None, :]   # (m, Sa, 1, B)
+    cost_pair = jnp.where(pair_ok, c, 0.0) * ofv
+    c_self = jnp.sum(cost_pair, axis=(0, 1, 2))            # (B,)
+
+    slope = jnp.where(d < 0.0, -1.0, d / eps_s - 1.0)
+    w1 = jnp.where(pair_ok, slope * ofv / jnp.maximum(cdist, 1e-12), 0.0)
+
+    xv = soa.dot(x_i, vel)                                 # (m, Sa, B)
+    xov = sum(a[:, :, None, :] * b[:, None, :, :]
+              for a, b in zip(vel, x_o))
+    b_ = xv[:, :, None, :] - xov
+    v2s = jnp.where(safe, v2, 1.0)
+    w2 = jnp.where(safe[:, :, None, :], w1 * b_ / v2s[:, :, None, :], 0.0)
+
+    w1a = w1[:, :, :Sa]
+    w2a = w2[:, :, :Sa]
+    r1 = jnp.sum(w1, axis=2)                               # (m, Sa, B)
+    r2 = jnp.sum(w2, axis=2)
+    c1 = jnp.sum(w1a, axis=1)
+    net = tuple(
+        x_i[ci] * r1
+        - jnp.sum(w1 * x_o[ci][:, None, :, :], axis=2)
+        - vel[ci] * r2
+        - jnp.sum(w1a * x_i[ci][:, :, None, :], axis=1)
+        + x_i[ci] * c1
+        + jnp.sum(w2a * vel[ci][:, :, None, :], axis=1)
+        for ci in range(3))
+    return c_self, net
+
+
+def total_cost_grad_batched(spec: ChompSpec, fk, fields: FieldStack,
+                            same_link, radii_act, radii_all,
+                            probs: ChompProblem):
+    """Full batched obstacle+self cost and config-space gradient.
+
+    probs: every leaf carries a leading batch axis B.  Fixed base, no
+    start_tsr.  Returns (cost (B,), G (B, m, n)) — averaged over moving
+    points like the AoS path (chomp.c:489-492).
+    """
+    dtype = probs.traj.dtype
+    dt = spec.dt
+    with jax.named_scope("callback_pre"):
+        Tt = jnp.transpose(probs.traj, (1, 2, 0))      # (n_points, n, B)
+        with jax.named_scope("fk"):
+            x_all, anch, axw = fk.fk_soa(
+                Tt,
+                _components(probs.robot_pose[:, :3], 3),
+                _components(probs.robot_pose[:, 3:], 4))
+        x_mov = tuple(c[1:-1] for c in x_all)
+        anch_mov = tuple(c[1:-1] for c in anch)
+        axw_mov = tuple(c[1:-1] for c in axw)
+        with jax.named_scope("pre_velsaccs"):
+            vel = tuple((c[2:] - c[:-2]) / (2.0 * dt) for c in x_all)
+            acc = tuple((c[:-2] - 2.0 * c[1:-1] + c[2:]) / (dt * dt)
+                        for c in x_all)
+
+    with jax.named_scope("obstacle"):
+        c_obs, w_obs, vnorm, v2, safe = _obstacle_soa(
+            spec, fields, radii_act, probs, x_mov, vel, acc, dtype)
+    with jax.named_scope("selfcol"):
+        c_self, w_self = _selfcol_soa(
+            spec, same_link, radii_act, radii_all, probs,
+            x_mov, vel, vnorm, v2, safe)
+
+    with jax.named_scope("jtmap"):
+        w = soa.add(w_obs, w_self)
+        G_arm = fk.apply_sphere_jacT_soa(anch_mov, axw_mov, x_mov, w)
+        G = jnp.transpose(G_arm, (2, 0, 1)) / spec.m   # (B, m, n)
+    return (c_obs + c_self) / spec.m, G

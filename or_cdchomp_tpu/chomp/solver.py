@@ -312,6 +312,129 @@ class ChompEngine:
         )
         return new_prob, (c_obs + c_smooth, c_obs, c_smooth)
 
+    # -- batch-native (SoA) step -------------------------------------------
+    #
+    # A structure-of-arrays twin of step() for the unconstrained
+    # fixed-base case: the cost path runs with the problem batch axis
+    # minor (cost_soa.py), every other stage is written directly on the
+    # (B, m, n) batch instead of being vmapped.  Numerically equivalent
+    # to vmap(step) (tests/test_soa_batch.py); measured ~2x on the
+    # batch-256 WAM7 workload because the vmapped AoS layout left TPU
+    # vector lanes ≥94% empty on the self-collision/FK/Jᵀ tensors.
+
+    @property
+    def batch_native_ok(self) -> bool:
+        return (not self.spec.floating_base and not self.spec.start_tsr
+                and self.cons.k_total == 0 and self.extra_cost is None)
+
+    def apply_A_b(self, X):
+        """A · X for X (B, m, n)."""
+        if self.metric_mode == "sep":
+            from or_cdchomp_tpu.chomp import metric as mm
+            return mm.sep_apply_A(X, self.spec.dt)
+        return jnp.einsum("ij,bjn->bin", self.A, X)
+
+    def solve_A_b(self, G):
+        """A⁻¹ · G for G (B, m, n)."""
+        if self.metric_mode == "sep":
+            from or_cdchomp_tpu.chomp import metric as mm
+            return mm.sep_solve(G, self.spec.dt)
+        return jnp.einsum("ij,bjn->bin", self.Ainv, G)
+
+    def _limit_repair_batched(self, T, lo, hi):
+        """Batched joint-limit repair (chomp.c:608-655): each problem
+        repairs its own worst violation per round; rounds continue while
+        any problem still violates (identical fixpoint to vmapping
+        :meth:`_limit_repair`)."""
+        B, m, n = T.shape
+        lo = lo[:, None, :]
+        hi = hi[:, None, :]
+
+        def cond(carry):
+            _, cnt, done = carry
+            return (~done) & (cnt < _MAX_LIMIT_FIXES)
+
+        def body(carry):
+            T, cnt, _ = carry
+            Gj = jnp.where(T < lo, lo - T, 0.0) + \
+                jnp.where(T > hi, hi - T, 0.0)
+            Gf = Gj.reshape(B, -1)
+            amax = jnp.argmax(jnp.abs(Gf), axis=1)             # (B,)
+            gmax = jnp.take_along_axis(Gf, amax[:, None], axis=1)[:, 0]
+            pred = jnp.abs(gmax) > 0.0                          # (B,)
+            GjA = self.solve_A_b(Gj)
+            denom = jnp.take_along_axis(
+                GjA.reshape(B, -1), amax[:, None], axis=1)[:, 0]
+            scale = 1.01 * gmax / jnp.where(denom == 0.0, 1.0, denom)
+            T_new = T + scale[:, None, None] * GjA
+            T = jnp.where(pred[:, None, None], T_new, T)
+            return (T, cnt + 1, ~jnp.any(pred))
+
+        T, _, _ = jax.lax.while_loop(
+            cond, body, (T, jnp.int32(0), jnp.array(False)))
+        return T
+
+    def step_batched(self, probs: ChompProblem):
+        """One CHOMP iteration over a (B,)-batched problem pytree.
+        Returns (next_probs, costs (B, 3))."""
+        from or_cdchomp_tpu.chomp import cost_soa
+
+        spec = self.spec
+        m = spec.m
+        lam = probs.lambda_                                    # (B,)
+        T_mov = probs.traj[:, 1:1 + m]                          # (B, m, n)
+
+        AG, hmc = jax.vmap(self._maybe_resample)(probs)
+
+        with jax.named_scope("callbacks"):
+            c_obs, G = cost_soa.total_cost_grad_batched(
+                spec, self.fk, self.fields, self.same_link,
+                self.radii_act, self.radii_all, probs)
+
+        with jax.named_scope("smoothgrad"):
+            G = G + self.apply_A_b(T_mov) + probs.B
+            if not spec.use_momentum:
+                AG_new = self.solve_A_b(G)
+                leap = hmc.leapfrog_first
+            else:
+                scale = (jnp.where(hmc.leapfrog_first, 0.5, 1.0) / lam
+                         )[:, None, None]
+                AG_new = AG + scale * self.solve_A_b(G)
+                leap = jnp.zeros_like(hmc.leapfrog_first)
+
+        T_mov = T_mov - AG_new / lam[:, None, None]
+
+        with jax.named_scope("limits"):
+            T_mov = self._limit_repair_batched(
+                T_mov, probs.jlimit_lower, probs.jlimit_upper)
+
+        with jax.named_scope("smoothcost"):
+            AT = self.apply_A_b(T_mov)
+            c_smooth = (0.5 * jnp.sum(T_mov * AT, axis=(1, 2))
+                        + jnp.sum(probs.B * T_mov, axis=(1, 2))
+                        + probs.trC)
+
+        traj = jax.lax.dynamic_update_slice_in_dim(
+            probs.traj, T_mov, 1, axis=1)
+        new_probs = probs._replace(
+            traj=traj, AG=AG_new,
+            hmc=HmcState(key=hmc.key, resample_iter=hmc.resample_iter,
+                         leapfrog_first=leap),
+            iteration=probs.iteration + 1,
+        )
+        costs = jnp.stack([c_obs + c_smooth, c_obs, c_smooth], axis=-1)
+        return new_probs, costs
+
+    def iterate_batched_nojit(self, probs: ChompProblem, n_iter: int):
+        """Batch-native scan; same contract as vmap(iterate_nojit):
+        returns (probs, costs (B, n_iter, 3))."""
+        def body(p, _):
+            p, costs = self.step_batched(p)
+            return p, costs
+
+        probs, costs = jax.lax.scan(body, probs, None, length=n_iter)
+        return probs, jnp.moveaxis(costs, 0, 1)
+
     # -- drivers -----------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
@@ -356,7 +479,12 @@ class ChompEngine:
 
     @functools.partial(jax.jit, static_argnums=(0, 2))
     def iterate_batch(self, probs: ChompProblem, n_iter: int):
-        """Batched: probs has a leading problem axis on every leaf."""
+        """Batched: probs has a leading problem axis on every leaf.
+        Uses the batch-native SoA step when the problem class allows,
+        vmap of the per-problem step otherwise."""
+        if self.batch_native_ok:
+            return self.iterate_batched_nojit(probs, n_iter)
+
         def one(p):
             return self.iterate_nojit(p, n_iter)
 

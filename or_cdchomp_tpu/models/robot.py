@@ -345,8 +345,11 @@ class CompiledFK:
         # (S, n_dof) DOF-affects-sphere mask
         mask = model.ancestor_dof_mask()[model.sphere_link[subset]]
         self._sphere_dof_mask = jnp.asarray(mask)
-        self._jtype_per_dof = jnp.asarray(
+        self._sphere_dof_mask_np = np.asarray(mask)
+        self._axis_np = np.asarray(model.axis, dtype=np.float64)
+        self._jtype_per_dof_np = np.asarray(
             [self._jtype[self._dof_link[d]] for d in range(model.n_dof)])
+        self._jtype_per_dof = jnp.asarray(self._jtype_per_dof_np)
         self._build_reduced_chain(model, origin64, subset)
 
     # ----- reduced chain ---------------------------------------------------
@@ -405,6 +408,9 @@ class CompiledFK:
         self._sphere_red_slot = jnp.asarray(red_slot[sl]) if len(sl) else \
             jnp.zeros((0,), jnp.int32)
         self._sphere_folded_pos = jnp.asarray(folded, dtype=self.dtype)
+        self._sphere_red_slot_np = (np.asarray(red_slot[sl]) if len(sl)
+                                    else np.zeros((0,), np.int64))
+        self._sphere_folded_np = np.asarray(folded, dtype=np.float64)
 
     def red_poses(self, q, base_pose=None):
         """World poses of the reduced (active-joint) chain.
@@ -553,6 +559,101 @@ class CompiledFK:
         g_pri = jnp.sum(axis_w * sum_w, axis=-1)
         rev = (self._jtype_per_dof == REVOLUTE)
         return jnp.where(rev, g_rev, g_pri)                     # (..., D)
+
+    # ----- structure-of-arrays (batch-minor) cost path ---------------------
+    #
+    # Same math as red_poses / sphere_positions_red / apply_sphere_jacT,
+    # but with every x/y/z/quat component its own array and the problem
+    # batch axis minor (see ops/soa.py for why).  Used by the
+    # batch-native step (solver.step_batched) — the per-problem AoS path
+    # above remains the parity anchor.
+
+    def fk_soa(self, qT, base_pos, base_q):
+        """SoA FK over a batched trajectory.
+
+        qT: (n_points, n_dof, B) joint values, batch minor.
+        base_pos / base_q: vec3 / quat component tuples broadcastable to
+        (n_points, B) — e.g. (B,) for a fixed per-problem base.
+
+        Returns (x, anchors_pos, axis_w):
+          x: vec3 of (n_points, S, B) sphere world centers
+          anchors_pos: vec3 of (n_points, D, B) joint origins (pre-motion)
+          axis_w: vec3 of (n_points, D, B) world joint axes
+        """
+        from or_cdchomp_tpu.ops import soa
+
+        n_points, _, B = qT.shape
+        half = 0.5 * qT
+        s = jnp.sin(half)
+        c = jnp.cos(half)
+
+        red = [(base_pos, base_q)]
+        anch_pos = [None] * self.n_dof
+        axis_w = [None] * self.n_dof
+        for e in self._chain:
+            ppos, pq = red[e["parent_slot"]]
+            K = e["K"]
+            aq = pq if e["rot_id"] else soa.qmul_const(pq, K[3:])
+            apos = ppos if e["pos_zero"] else \
+                soa.add(ppos, soa.qrot_const(pq, K[:3]))
+            d = e["dof"]
+            anch_pos[d] = apos
+            ax = e["axis"]
+            axis_w[d] = soa.qrot_const(aq, ax)
+            if e["jtype"] == REVOLUTE:
+                sd, cd = s[:, d, :], c[:, d, :]
+                mq = (sd * float(ax[0]), sd * float(ax[1]),
+                      sd * float(ax[2]), cd)
+                red.append((apos, soa.qmul(aq, mq)))
+            else:  # prismatic
+                step = soa.scale(axis_w[d], qT[:, d, :])
+                red.append((soa.add(apos, step), aq))
+
+        # sphere world centers from reduced poses (offsets pre-folded)
+        full = (n_points, B)
+        xs = []
+        for k in range(len(self._sphere_red_slot_np)):
+            slot = int(self._sphere_red_slot_np[k])
+            rpos, rq = red[slot]
+            pk = soa.add(soa.qrot_const(rq, self._sphere_folded_np[k]), rpos)
+            xs.append(tuple(jnp.broadcast_to(cc, full) for cc in pk))
+        x = tuple(jnp.stack([p[ci] for p in xs], axis=1) for ci in range(3))
+
+        def stack_d(comp_list):
+            return tuple(
+                jnp.stack([jnp.broadcast_to(comp_list[d][ci], full)
+                           for d in range(self.n_dof)], axis=1)
+                for ci in range(3))
+
+        return x, stack_d(anch_pos), stack_d(axis_w)
+
+    def apply_sphere_jacT_soa(self, anchors_pos, axis_w, x, w):
+        """SoA G = Σ_s J(s)ᵀ w_s (same triple-product factoring as
+        apply_sphere_jacT).
+
+        anchors_pos / axis_w: vec3 of (m, D, B); x / w: vec3 of
+        (m, S, B).  Returns (m, D, B).
+        """
+        from or_cdchomp_tpu.ops import soa
+
+        mask = self._sphere_dof_mask_np.astype(np.float32)  # (S, D)
+        maskb = jnp.asarray(mask[None, :, :, None], dtype=w[0].dtype)
+
+        xw = soa.cross(x, w)
+
+        def red_sd(comp):  # (m, S, B) → Σ_s mask · comp → (m, D, B)
+            return jnp.sum(comp[:, :, None, :] * maskb, axis=1)
+
+        sum_xw = tuple(red_sd(cc) for cc in xw)
+        sum_w = tuple(red_sd(cc) for cc in w)
+        oxw = soa.cross(anchors_pos, sum_w)
+        g_rev = soa.dot(axis_w, soa.sub(sum_xw, oxw))
+        g_pri = soa.dot(axis_w, sum_w)
+        if np.all(self._jtype_per_dof_np == REVOLUTE):
+            return g_rev
+        rev = jnp.asarray(
+            (self._jtype_per_dof_np == REVOLUTE)[None, :, None])
+        return jnp.where(rev, g_rev, g_pri)
 
     def fk_spheres(self, q, base_pose=None):
         """One-call convenience: (sphere_x (..., S, 3),

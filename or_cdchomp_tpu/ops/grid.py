@@ -273,6 +273,42 @@ def _lookup_onehot2(flat, idx, strides, dtype):
     return vals.reshape(shape + (7,))
 
 
+def _lookup_onehot2_qlanes(flat, idx, strides, dtype):
+    """Transposed two-sided one-hot lookup: same values as
+    :func:`_lookup_onehot2` but returned as (7, Q) with queries on the
+    minor (lane) axis — the layout the SoA batch-native cost path wants,
+    so no (Q, 7) → (7, Q) relayout copy ever materializes.  The heavy
+    contraction is (7H, L) @ (L, Q) on the MXU; the hi-select reduces
+    the H axis (non-minor) at full lane width.
+    """
+    sx, sy, sz = strides
+    flat = _definite(flat)
+    L = _ONEHOT2_L
+    cells = flat.shape[0]
+    H = -(-cells // L)
+    pad = H * L - cells
+    fmat7 = jnp.stack([flat,
+                       jnp.roll(flat, -sx), jnp.roll(flat, sx),
+                       jnp.roll(flat, -sy), jnp.roll(flat, sy),
+                       jnp.roll(flat, -sz), jnp.roll(flat, sz)], axis=0)
+    if pad:
+        fmat7 = jnp.pad(fmat7, ((0, 0), (0, pad)),
+                        constant_values=_BIG.astype(flat.dtype) / 2)
+    # A[(j·H + h), l] = table_j[h·L + l]
+    A = fmat7.reshape(7 * H, L)
+
+    qi = idx.reshape(-1)
+    hi = qi // L
+    lo = qi - hi * L
+    oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
+             ).astype(dtype)                                   # (L, Q)
+    T = jnp.dot(A.astype(dtype), oh_lo,
+                preferred_element_type=dtype)                  # (7H, Q)
+    oh_hi = (jnp.arange(H, dtype=jnp.int32)[:, None] == hi[None, :]
+             ).astype(dtype)                                   # (H, Q)
+    return jnp.sum(T.reshape(7, H, -1) * oh_hi[None], axis=1)  # (7, Q)
+
+
 def _pick_method(cells):
     """Lookup backend: the two-sided one-hot factorization (a real MXU
     matmul over the lane axis + cheap hi-select — measured 3-4x faster

@@ -141,8 +141,13 @@ class BatchSolver:
     def iterate(self, probs: ChompProblem, n_iter: int):
         """(P,)-batched scan of n_iter steps.  Returns
         (problems, costs (n_iter, P, 3))."""
-        def one(p):
-            return self.engine.iterate_nojit(p, n_iter)
+        if self.engine.batch_native_ok:
+            def run(p):
+                return self.engine.iterate_batched_nojit(p, n_iter)
+        else:
+            def run(p):
+                return jax.vmap(
+                    lambda q: self.engine.iterate_nojit(q, n_iter))(p)
 
         P_ = int(jax.tree.leaves(probs)[0].shape[0])
         ch = self.chunk
@@ -150,12 +155,12 @@ class BatchSolver:
                 and int(np.prod(self.mesh.devices.shape)) == 1):
             folded = jax.tree.map(
                 lambda x: x.reshape((P_ // ch, ch) + x.shape[1:]), probs)
-            probs, costs = jax.lax.map(jax.vmap(one), folded)
+            probs, costs = jax.lax.map(run, folded)
             probs = jax.tree.map(
                 lambda x: x.reshape((P_,) + x.shape[2:]), probs)
             costs = costs.reshape((P_, n_iter, 3))
         else:
-            probs, costs = jax.vmap(one)(probs)
+            probs, costs = run(probs)
         return probs, jnp.moveaxis(costs, 1, 0)
 
     @functools.partial(jax.jit, static_argnums=(0, 2, 3))

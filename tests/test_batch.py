@@ -89,7 +89,10 @@ def test_stack_problems(setup):
 
 def test_chunked_iterate_matches_flat(setup):
     """Large batches run as lax.map over chunks on single-device
-    meshes; results must equal the flat vmap bit-for-bit."""
+    meshes; results must match the flat run.  (Not bit-for-bit: the
+    batch-native SoA step compiles per batch shape, and XLA's reduction
+    order differs between the chunk shape and the flat shape — f32
+    rounding noise only.)"""
     import jax
     from jax.sharding import Mesh
 
@@ -107,8 +110,10 @@ def test_chunked_iterate_matches_flat(setup):
     chunked = BatchSolver(engine, mesh=Mesh(dev, ("dp",)), chunk=4)
     p1, c1 = flat.iterate(probs, 5)
     p2, c2 = chunked.iterate(probs, 5)
-    np.testing.assert_array_equal(np.asarray(p1.traj), np.asarray(p2.traj))
-    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(p1.traj), np.asarray(p2.traj),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                               rtol=5e-5, atol=5e-4)
 
 
 def test_solve_convergence_tol_early_stop(setup):
