@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _measure(engine, run, goal, batch, n_iter, *, best_of=False,
-             label="", mesh=None, reps=2):
+             label="", mesh=None, reps=2, phases=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -96,7 +96,7 @@ def _phase_report(engine, run, batch):
         goals[:, 3:7] = goal[3:7]
     probs = problem_batch_from_grid(run.problem, starts, goals, engine)
     compiled = jax.jit(
-        lambda p: jax.vmap(engine.step)(p)).lower(probs).compile()
+        lambda p: engine.iterate_batch(p, 1)).lower(probs).compile()
     print(format_phase_report(phase_cycle_report(compiled.as_text())),
         flush=True)
 
@@ -123,10 +123,14 @@ def main():
         mod, run, goal = C.wam7_single_sdf(dtype)
         _measure(run.engine, run, goal, args.batch, args.n_iter,
                  label="1:wam7_single_sdf")
+        if args.phases:
+            _phase_report(run.engine, run, args.batch)
     if 2 in want:
         mod, run, goal = C.cluttered_multi_sdf(dtype)
         _measure(run.engine, run, goal, args.batch, args.n_iter,
                  label="2:cluttered_multi_sdf")
+        if args.phases:
+            _phase_report(run.engine, run, args.batch)
     if 3 in want:
         mod, run, goal = C.hmc_best_of(dtype)
         _measure(run.engine, run, goal, args.batch, args.n_iter,
@@ -135,6 +139,8 @@ def main():
         mod, run, goal = C.floating_everyn_tsr(dtype)
         _measure(run.engine, run, goal, args.batch, args.n_iter,
                  label="4:floating_everyn_tsr")
+        if args.phases:
+            _phase_report(run.engine, run, args.batch)
     if 5 in want:
         mod, run, goal = C.wam7_single_sdf(dtype)
         _measure(run.engine, run, goal, 10240, args.n_iter,

@@ -221,8 +221,13 @@ def _lookup_gather(flat, idx, strides, dtype):
     return jnp.stack([jnp.take(flat, c, mode="clip") for c in cols], axis=-1)
 
 
-# lane width of the two-sided one-hot factorization
-_ONEHOT2_L = 256
+# lane width of the two-sided one-hot factorization (env override for
+# A/B tuning only; 256 measured best on the bench shapes)
+import os as _os
+
+_ONEHOT2_L = int(_os.environ.get("CDX_ONEHOT2_L", "256"))
+# qlanes lookup backend A/B knob: "onehot2" (default) | "take"
+_QLANES_METHOD = _os.environ.get("CDX_QLANES_METHOD", "onehot2")
 
 
 def _lookup_onehot2(flat, idx, strides, dtype):
@@ -283,6 +288,11 @@ def _lookup_onehot2_qlanes(flat, idx, strides, dtype):
     """
     sx, sy, sz = strides
     flat = _definite(flat)
+    qi0 = idx.reshape(-1)
+    if _QLANES_METHOD == "take":
+        idx7 = jnp.stack([qi0, qi0 + sx, qi0 - sx, qi0 + sy, qi0 - sy,
+                          qi0 + sz, qi0 - sz])
+        return jnp.take(flat, idx7, mode="clip").astype(dtype)
     L = _ONEHOT2_L
     cells = flat.shape[0]
     H = -(-cells // L)
@@ -297,9 +307,14 @@ def _lookup_onehot2_qlanes(flat, idx, strides, dtype):
     # A[(j·H + h), l] = table_j[h·L + l]
     A = fmat7.reshape(7 * H, L)
 
-    qi = idx.reshape(-1)
+    qi = qi0
     hi = qi // L
     lo = qi - hi * L
+    # NB a bf16-split two-dot variant (A = bf16(A) + bf16(A − bf16(A)),
+    # exact one-hots) was measured 3.3x SLOWER end to end: XLA rewrites
+    # the single one-hot dot into an internal gather (~100x fewer
+    # FLOPs), and the split defeats that rewrite, forcing two real
+    # dense matmuls.  Keep the single dot in the compute dtype.
     oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
              ).astype(dtype)                                   # (L, Q)
     T = jnp.dot(A.astype(dtype), oh_lo,
