@@ -31,6 +31,16 @@ def _components(arr2, n):
     return tuple(arr2[:, i] for i in range(n))
 
 
+def stack_pose_aos(pos, quat):
+    """SoA pose components → AoS (B, n_points, ·, 7) pose array.
+
+    pos: vec3, quat: quat4 of (n_points, ·, B) arrays.  One relayout
+    per consumer (the TSR constraint chains), a few MB per step.
+    """
+    comps = [jnp.transpose(c, (2, 0, 1)) for c in (*pos, *quat)]
+    return jnp.stack(comps, axis=-1)
+
+
 def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
                   probs: ChompProblem, x, vel, acc, dtype):
     """SoA obstacle cost + workspace gradient (chomp/cost.py
@@ -206,27 +216,38 @@ def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
     return c_self, net
 
 
+_BASE_JAC_DAMP = 0.01  # floating-base damping, orcdchomp_mod.cpp:1075-1080
+
+
 def total_cost_grad_batched(spec: ChompSpec, fk, fields: FieldStack,
                             same_link, radii_act, radii_all,
                             probs: ChompProblem):
     """Full batched obstacle+self cost and config-space gradient.
 
-    probs: every leaf carries a leading batch axis B.  Fixed base, no
-    start_tsr.  Returns (cost (B,), G (B, m, n)) — averaged over moving
-    points like the AoS path (chomp.c:489-492).
+    probs: every leaf carries a leading batch axis B.  No start_tsr.
+    Returns (cost (B,), G (B, m, n), fk_out FkSoA) — averaged over
+    moving points like the AoS path (chomp.c:489-492); fk_out feeds the
+    constraint evaluation in solver.step_batched.
     """
     dtype = probs.traj.dtype
     dt = spec.dt
     with jax.named_scope("callback_pre"):
         Tt = jnp.transpose(probs.traj, (1, 2, 0))      # (n_points, n, B)
         with jax.named_scope("fk"):
-            x_all, anch, axw = fk.fk_soa(
-                Tt,
-                _components(probs.robot_pose[:, :3], 3),
-                _components(probs.robot_pose[:, 3:], 4))
+            if spec.floating_base:
+                fk_out = fk.fk_soa(
+                    Tt[:, 7:, :],
+                    tuple(Tt[:, i, :] for i in range(3)),
+                    tuple(Tt[:, i, :] for i in range(3, 7)))
+            else:
+                fk_out = fk.fk_soa(
+                    Tt,
+                    _components(probs.robot_pose[:, :3], 3),
+                    _components(probs.robot_pose[:, 3:], 4))
+        x_all = fk_out.x
         x_mov = tuple(c[1:-1] for c in x_all)
-        anch_mov = tuple(c[1:-1] for c in anch)
-        axw_mov = tuple(c[1:-1] for c in axw)
+        anch_mov = tuple(c[1:-1] for c in fk_out.anch_pos)
+        axw_mov = tuple(c[1:-1] for c in fk_out.axis_w)
         with jax.named_scope("pre_velsaccs"):
             vel = tuple((c[2:] - c[:-2]) / (2.0 * dt) for c in x_all)
             acc = tuple((c[:-2] - 2.0 * c[1:-1] + c[2:]) / (dt * dt)
@@ -243,5 +264,26 @@ def total_cost_grad_batched(spec: ChompSpec, fk, fields: FieldStack,
     with jax.named_scope("jtmap"):
         w = soa.add(w_obs, w_self)
         G_arm = fk.apply_sphere_jacT_soa(anch_mov, axw_mov, x_mov, w)
-        G = jnp.transpose(G_arm, (2, 0, 1)) / spec.m   # (B, m, n)
-    return (c_obs + c_self) / spec.m, G
+        G_arm = jnp.transpose(G_arm, (2, 0, 1))        # (B, m, n_arm)
+        if spec.floating_base:
+            # base block (orcdchomp_mod.cpp:1050-1086): Jᵀw =
+            # damp·(Jsp[:3]ᵀ Σ(x×w) + Jsp[3:]ᵀ Σw); the (m,6,7)
+            # spatial Jacobian is tiny, so it runs in plain batched AoS
+            # on the reconstructed base poses
+            from or_cdchomp_tpu.ops import spatial as sp
+
+            xw = soa.cross(x_mov, w)
+            sxw = jnp.stack([jnp.transpose(jnp.sum(c, axis=1))
+                             for c in xw], axis=-1)     # (B, m, 3)
+            sw = jnp.stack([jnp.transpose(jnp.sum(c, axis=1))
+                            for c in w], axis=-1)       # (B, m, 3)
+            m = spec.m
+            base_mov = probs.traj[:, 1:1 + m, :7]       # (B, m, 7)
+            Jsp = sp.pose_jac(base_mov)                 # (B, m, 6, 7)
+            G_base = _BASE_JAC_DAMP * (
+                jnp.sum(Jsp[:, :, 0:3] * sxw[:, :, :, None], axis=2)
+                + jnp.sum(Jsp[:, :, 3:6] * sw[:, :, :, None], axis=2))
+            G = jnp.concatenate([G_base, G_arm], axis=-1) / spec.m
+        else:
+            G = G_arm / spec.m                          # (B, m, n)
+    return (c_obs + c_self) / spec.m, G, fk_out

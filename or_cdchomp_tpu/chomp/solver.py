@@ -324,8 +324,9 @@ class ChompEngine:
 
     @property
     def batch_native_ok(self) -> bool:
-        return (not self.spec.floating_base and not self.spec.start_tsr
-                and self.cons.k_total == 0 and self.extra_cost is None)
+        # start_tsr shifts the moving-point window and extra_cost is an
+        # arbitrary per-problem callable — both keep the vmapped path
+        return not self.spec.start_tsr and self.extra_cost is None
 
     def apply_A_b(self, X):
         """A · X for X (B, m, n)."""
@@ -387,7 +388,7 @@ class ChompEngine:
         AG, hmc = jax.vmap(self._maybe_resample)(probs)
 
         with jax.named_scope("callbacks"):
-            c_obs, G = cost_soa.total_cost_grad_batched(
+            c_obs, G, fk_out = cost_soa.total_cost_grad_batched(
                 spec, self.fk, self.fields, self.same_link,
                 self.radii_act, self.radii_all, probs)
 
@@ -401,6 +402,36 @@ class ChompEngine:
                          )[:, None, None]
                 AG_new = AG + scale * self.solve_A_b(G)
                 leap = jnp.zeros_like(hmc.leapfrog_first)
+
+        # constraint projection (chomp.c:553-600): the TSR chains run in
+        # vmapped AoS on the reconstructed reduced poses/anchors — their
+        # tensors are (C, 6, n)-sized, far off the SoA hot path
+        if self.cons.k_total:
+            from or_cdchomp_tpu.chomp.cost import TrajKinematics
+
+            with jax.named_scope("constraint"):
+                red_aos = cost_soa.stack_pose_aos(
+                    fk_out.red_pos, fk_out.red_q)     # (B, n_points, R, 7)
+                anch_aos = cost_soa.stack_pose_aos(
+                    fk_out.anch_pos, fk_out.anch_q)   # (B, n_points, D, 7)
+
+                def eval_one(traj, red, anch, p):
+                    z = traj[:0]
+                    kin = TrajKinematics(
+                        x_all=z, x_mov=z, vel=z, acc=z, anchors_mov=z,
+                        base_mov=z, red_poses=red, anchors=anch)
+                    return eval_tsr_all(spec, self.fk, p, traj,
+                                        self.cons, kin)
+
+                val, jac = jax.vmap(eval_one)(
+                    probs.traj, red_aos, anch_aos, probs)
+
+                def proj_one(lam_, ag, tm, v, j):
+                    return project_constraints(
+                        spec, self.cons, self, lam_, ag, tm, v, j)
+
+                T_mov = T_mov + jax.vmap(proj_one)(
+                    lam, AG_new, T_mov, val, jac)
 
         T_mov = T_mov - AG_new / lam[:, None, None]
 
@@ -416,6 +447,10 @@ class ChompEngine:
 
         traj = jax.lax.dynamic_update_slice_in_dim(
             probs.traj, T_mov, 1, axis=1)
+        if spec.floating_base:
+            # per-iteration quaternion renorm (orcdchomp_mod.cpp:2805-2808)
+            traj = jnp.concatenate(
+                [qt.pose_normalize(traj[..., :7]), traj[..., 7:]], axis=-1)
         new_probs = probs._replace(
             traj=traj, AG=AG_new,
             hmc=HmcState(key=hmc.key, resample_iter=hmc.resample_iter,

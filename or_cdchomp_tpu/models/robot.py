@@ -26,7 +26,7 @@ Design:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -309,6 +309,18 @@ class RobotModel:
         return adj[self.sphere_link][:, self.sphere_link]
 
 
+class FkSoA(NamedTuple):
+    """Structure-of-arrays FK outputs (see CompiledFK.fk_soa): component
+    tuples, batch axis minor."""
+
+    x: tuple          # vec3 (n_points, S, B) sphere world centers
+    anch_pos: tuple   # vec3 (n_points, D, B) joint frames, pre-motion
+    anch_q: tuple     # quat (n_points, D, B)
+    axis_w: tuple     # vec3 (n_points, D, B) world joint axes
+    red_pos: tuple    # vec3 (n_points, n_red, B) reduced link poses
+    red_q: tuple      # quat (n_points, n_red, B)
+
+
 class CompiledFK:
     """Jit-friendly FK closures for a RobotModel with frozen joints
     folded in.  All static structure is baked as Python constants or
@@ -568,17 +580,19 @@ class CompiledFK:
     # batch-native step (solver.step_batched) — the per-problem AoS path
     # above remains the parity anchor.
 
+
     def fk_soa(self, qT, base_pos, base_q):
         """SoA FK over a batched trajectory.
 
         qT: (n_points, n_dof, B) joint values, batch minor.
         base_pos / base_q: vec3 / quat component tuples broadcastable to
-        (n_points, B) — e.g. (B,) for a fixed per-problem base.
+        (n_points, B) — (B,) for a fixed per-problem base, (n_points, B)
+        for a floating per-waypoint base.
 
-        Returns (x, anchors_pos, axis_w):
-          x: vec3 of (n_points, S, B) sphere world centers
-          anchors_pos: vec3 of (n_points, D, B) joint origins (pre-motion)
-          axis_w: vec3 of (n_points, D, B) world joint axes
+        Returns an FkSoA with component tuples (each (n_points, ·, B)):
+          x: sphere world centers (·=S); anch_pos / anch_q: joint frames
+          pre-motion (·=D); axis_w: world joint axes (·=D);
+          red_pos / red_q: reduced-chain link poses (·=n_red).
         """
         from or_cdchomp_tpu.ops import soa
 
@@ -588,7 +602,7 @@ class CompiledFK:
         c = jnp.cos(half)
 
         red = [(base_pos, base_q)]
-        anch_pos = [None] * self.n_dof
+        anch = [None] * self.n_dof
         axis_w = [None] * self.n_dof
         for e in self._chain:
             ppos, pq = red[e["parent_slot"]]
@@ -597,7 +611,7 @@ class CompiledFK:
             apos = ppos if e["pos_zero"] else \
                 soa.add(ppos, soa.qrot_const(pq, K[:3]))
             d = e["dof"]
-            anch_pos[d] = apos
+            anch[d] = (apos, aq)
             ax = e["axis"]
             axis_w[d] = soa.qrot_const(aq, ax)
             if e["jtype"] == REVOLUTE:
@@ -619,13 +633,19 @@ class CompiledFK:
             xs.append(tuple(jnp.broadcast_to(cc, full) for cc in pk))
         x = tuple(jnp.stack([p[ci] for p in xs], axis=1) for ci in range(3))
 
-        def stack_d(comp_list):
+        def stack_mid(items, nc):
             return tuple(
-                jnp.stack([jnp.broadcast_to(comp_list[d][ci], full)
-                           for d in range(self.n_dof)], axis=1)
-                for ci in range(3))
+                jnp.stack([jnp.broadcast_to(it[ci], full) for it in items],
+                          axis=1)
+                for ci in range(nc))
 
-        return x, stack_d(anch_pos), stack_d(axis_w)
+        return FkSoA(
+            x=x,
+            anch_pos=stack_mid([a[0] for a in anch], 3),
+            anch_q=stack_mid([a[1] for a in anch], 4),
+            axis_w=stack_mid(axis_w, 3),
+            red_pos=stack_mid([r[0] for r in red], 3),
+            red_q=stack_mid([r[1] for r in red], 4))
 
     def apply_sphere_jacT_soa(self, anchors_pos, axis_w, x, w):
         """SoA G = Σ_s J(s)ᵀ w_s (same triple-product factoring as

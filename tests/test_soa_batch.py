@@ -106,10 +106,83 @@ def test_soa_limit_repair():
     assert np.all(np.asarray(out_soa.traj) >= lo - 1e-7)
 
 
-def test_floating_engine_not_eligible():
-    """Floating-base / TSR problems keep the vmapped AoS path."""
+def _compare_handle(mod, h, n_iter=4, batch=4):
+    run = mod.runs[h]
+    engine = run.engine
+    assert engine.batch_native_ok
+    spec = engine.spec
+    rng = np.random.default_rng(5)
+    start = np.asarray(run.problem.traj)[0]
+    goal = np.asarray(run.problem.traj)[-1]
+    starts = np.tile(start, (batch, 1)) + \
+        0.02 * rng.normal(size=(batch, spec.n))
+    goals = np.tile(goal, (batch, 1)) + \
+        0.02 * rng.normal(size=(batch, spec.n))
+    if spec.floating_base:
+        starts[:, 3:7] = start[3:7]
+        goals[:, 3:7] = goal[3:7]
+    probs = problem_batch_from_grid(run.problem, starts, goals, engine)
+    out_soa, costs_soa = engine.iterate_batched_nojit(probs, n_iter)
+    out_ref, costs_ref = jax.vmap(
+        lambda p: engine.iterate_nojit(p, n_iter))(probs)
+    np.testing.assert_allclose(np.asarray(out_soa.traj),
+                               np.asarray(out_ref.traj),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(costs_soa),
+                               np.asarray(costs_ref), rtol=1e-8)
+
+
+def test_soa_matches_vmap_floating():
+    """Floating base: per-waypoint SE(3) base through the SoA FK, the
+    damped base Jacobian block, and the per-iteration quat renorm."""
     mod = _module()
-    basegoal = np.array([0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])
+    basegoal = np.array([0.1, 0.05, 0.0, 0.0, 0.0, 0.0, 1.0])
     h = mod.create(robot="wam", adofgoal=GOAL, basegoal=basegoal,
-                   floating_base=True, lambda_=200.0, n_points=7)
+                   floating_base=True, lambda_=200.0, obs_factor=200.0,
+                   n_points=7)
+    _compare_handle(mod, h)
+
+
+def test_soa_matches_vmap_floating_everyn_tsr():
+    """The config-4 shape: floating base + everyn TSR — constraint
+    eval/projection run vmapped-AoS inside the batch-native step."""
+    from or_cdchomp_tpu.tsr import TSR
+    mod = _module()
+    tsr = TSR.from_matrices(
+        np.eye(4), np.eye(4),
+        Bw=np.array([[-10, 10], [-10, 10], [-10, 10],
+                     [0, 0], [0, 0], [-np.pi, np.pi]]))
+    basegoal = np.array([0.1, 0.05, 0.0, 0.0, 0.0, 0.0, 1.0])
+    h = mod.create(robot="wam", adofgoal=GOAL, basegoal=basegoal,
+                   floating_base=True, lambda_=200.0, obs_factor=200.0,
+                   n_points=7, everyn_tsr=tsr)
+    assert mod.runs[h].engine.cons.k_total > 0
+    _compare_handle(mod, h)
+
+
+def test_soa_matches_vmap_fixed_con_tsr():
+    """Fixed base + a single-point con_tsr."""
+    from or_cdchomp_tpu.tsr import TSR
+    mod = _module()
+    tsr = TSR.from_matrices(
+        np.eye(4), np.eye(4),
+        Bw=np.array([[-10, 10], [-10, 10], [-10, 10],
+                     [0, 0], [0, 0], [-np.pi, np.pi]]))
+    h = mod.create(robot="wam", adofgoal=GOAL, lambda_=100.0,
+                   obs_factor=500.0, n_points=9, con_tsr=("end", tsr))
+    assert mod.runs[h].engine.cons.k_total > 0
+    _compare_handle(mod, h)
+
+
+def test_start_tsr_not_eligible():
+    """start_tsr shifts the moving-point window; it keeps the vmapped
+    AoS path."""
+    from or_cdchomp_tpu.tsr import TSR
+    mod = _module()
+    tsr = TSR.from_matrices(
+        np.eye(4), np.eye(4),
+        Bw=np.array([[-10, 10], [-10, 10], [-10, 10],
+                     [0, 0], [0, 0], [-np.pi, np.pi]]))
+    h = mod.create(robot="wam", adofgoal=GOAL, lambda_=100.0,
+                   obs_factor=500.0, n_points=9, start_tsr=tsr)
     assert not mod.runs[h].engine.batch_native_ok
