@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _measure(engine, run, goal, batch, n_iter, *, best_of=False,
-             label="", mesh=None, reps=2, phases=False):
+             label="", mesh=None, reps=2):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -135,6 +135,8 @@ def main():
         mod, run, goal = C.hmc_best_of(dtype)
         _measure(run.engine, run, goal, args.batch, args.n_iter,
                  best_of=True, label="3:hmc_best_of")
+        if args.phases:
+            _phase_report(run.engine, run, args.batch)
     if 4 in want:
         mod, run, goal = C.floating_everyn_tsr(dtype)
         _measure(run.engine, run, goal, args.batch, args.n_iter,

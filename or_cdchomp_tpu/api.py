@@ -737,8 +737,12 @@ class CHOMPModule:
 
         # --- engine (cached by static structure) ---
         fk = CompiledFK(r.model, dtype=self.dtype)
+        # keyed on id(start_cost), not truthiness: the engine captures
+        # the *callable*, so two runs with different hooks must never
+        # share one engine (the cached engine keeps the hook alive, so
+        # its id cannot be recycled while the entry exists)
         key = (spec, id(r.model), self._fields_version, cons,
-               start_cost is not None)
+               id(start_cost) if start_cost is not None else None)
         engine = self._engine_cache.get(key)
         if engine is None:
             fields = self._field_stack()
@@ -819,9 +823,10 @@ class CHOMPModule:
         done = 0
         # per-iteration host work (wall-clock budget checks, trajectory
         # snapshots) forces chunk=1; otherwise run full masked chunks.
-        # Both cases reuse ONE compiled executable per engine
+        # Both buckets reuse one compiled executable per engine
         # (iterate_masked's valid count is a traced scalar, so varying
-        # n_iter or max_time never recompiles).
+        # n_iter or max_time never recompiles; the chunk=1 bucket costs
+        # exactly one step per applied iteration).
         chunk = 1 if (max_time is not None or trajs_fileformstr) \
             else rn.engine.ITER_CHUNK
         while done < n_iter:
@@ -829,7 +834,8 @@ class CHOMPModule:
             if trajs_fileformstr:
                 np.savetxt(trajs_fileformstr % rn.iteration,
                            np.asarray(rn.problem.traj))
-            rn.problem, costs = rn.engine.iterate_masked(rn.problem, todo)
+            rn.problem, costs = rn.engine.iterate_masked(
+                rn.problem, todo, chunk)
             costs = np.asarray(costs)[:todo]
             # no_report_cost suppresses per-iteration cost *reporting*
             # (documented at README.md:137; the reference fails to parse

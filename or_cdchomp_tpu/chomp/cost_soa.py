@@ -8,10 +8,12 @@ ops/soa.py for the layout rationale: the vmapped AoS path leaves TPU
 vector registers ≥94% empty on the hot self-collision / FK / Jᵀ
 tensors).
 
-Scope: the fast path of solver.step_batched — fixed base, no start_tsr
-(floating-base and TSR-constrained problems keep the vmapped AoS path,
-which stays the parity anchor; equivalence of the two paths is pinned
-by tests/test_soa_batch.py).
+Scope: the fast path of solver.step_batched — everything except
+start_tsr (which shifts the moving-point window) and extra_cost hooks
+(arbitrary per-problem callables); floating base and con/everyn TSR
+problems run here too (solver.batch_native_ok).  The vmapped AoS path
+stays the parity anchor; equivalence of the two paths is pinned by
+tests/test_soa_batch.py.
 """
 
 from __future__ import annotations
@@ -19,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from or_cdchomp_tpu.chomp.cost import _VEL_EPS, FieldStack
+from or_cdchomp_tpu.chomp.cost import _BASE_JAC_DAMP, _VEL_EPS, FieldStack
 from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec
 from or_cdchomp_tpu.ops import soa
 from or_cdchomp_tpu.ops.grid import (
@@ -214,9 +216,6 @@ def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
         + jnp.sum(w2a * vel[ci][:, :, None, :], axis=1)
         for ci in range(3))
     return c_self, net
-
-
-_BASE_JAC_DAMP = 0.01  # floating-base damping, orcdchomp_mod.cpp:1075-1080
 
 
 def total_cost_grad_batched(spec: ChompSpec, fk, fields: FieldStack,

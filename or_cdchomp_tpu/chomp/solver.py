@@ -486,17 +486,27 @@ class ChompEngine:
     # per engine serves every (n_iter, max_time) pattern
     ITER_CHUNK = 16
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def iterate_masked(self, prob: ChompProblem, valid):
-        """ITER_CHUNK steps with the first ``valid`` (a *traced* scalar)
-        applied and the rest passed through unchanged.  Unlike
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def iterate_masked(self, prob: ChompProblem, valid, chunk_size=None):
+        """``chunk_size`` steps with the first ``valid`` (a *traced*
+        scalar) applied and the rest passed through unchanged.  Unlike
         :meth:`iterate`, whose executable is specialized on the static
-        n_iter, this compiles exactly once per engine — the api-level
-        driver uses it so varying n_iter / max_time budgets / tail
-        chunks never trigger a recompile.  Returns
-        (problem, costs (ITER_CHUNK, 3)); rows ≥ valid are garbage and
+        n_iter, this compiles once per (engine, chunk_size) bucket — the
+        api-level driver uses chunk_size ∈ {1, ITER_CHUNK} so varying
+        n_iter / max_time budgets / tail chunks never recompile, and
+        per-iteration callers (max_time / trajs_fileformstr force
+        chunk=1) execute exactly ONE step per applied iteration instead
+        of paying all ITER_CHUNK steps and discarding 15.  Returns
+        (problem, costs (chunk_size, 3)); rows ≥ valid are garbage and
         the caller slices them off."""
+        if chunk_size is None:
+            chunk_size = self.ITER_CHUNK
         valid = jnp.asarray(valid, jnp.int32)
+        if chunk_size == 1:
+            # single-step bucket: no masking needed (valid ∈ {0, 1};
+            # api.iterate never calls with valid=0)
+            prob, costs = self.step(prob)
+            return prob, jnp.stack(costs)[None]
 
         def body(p, i):
             p2, costs = self.step(p)
@@ -505,7 +515,7 @@ class ChompEngine:
             return p2, jnp.stack(costs)
 
         prob, costs = jax.lax.scan(body, prob,
-                                   jnp.arange(self.ITER_CHUNK, dtype=jnp.int32))
+                                   jnp.arange(chunk_size, dtype=jnp.int32))
         return prob, costs
 
     @functools.partial(jax.jit, static_argnums=(0,))

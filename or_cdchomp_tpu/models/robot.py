@@ -631,9 +631,17 @@ class CompiledFK:
             rpos, rq = red[slot]
             pk = soa.add(soa.qrot_const(rq, self._sphere_folded_np[k]), rpos)
             xs.append(tuple(jnp.broadcast_to(cc, full) for cc in pk))
-        x = tuple(jnp.stack([p[ci] for p in xs], axis=1) for ci in range(3))
+        dtype = qT.dtype
+        if xs:
+            x = tuple(jnp.stack([p[ci] for p in xs], axis=1)
+                      for ci in range(3))
+        else:  # degenerate zero-sphere model (AoS path guards the same)
+            x = tuple(jnp.zeros((n_points, 0, B), dtype) for _ in range(3))
 
         def stack_mid(items, nc):
+            if not items:  # n_dof == 0: no joints, empty middle axis
+                return tuple(jnp.zeros((n_points, 0, B), dtype)
+                             for _ in range(nc))
             return tuple(
                 jnp.stack([jnp.broadcast_to(it[ci], full) for it in items],
                           axis=1)
