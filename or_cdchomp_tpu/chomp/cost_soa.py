@@ -25,7 +25,25 @@ from or_cdchomp_tpu.chomp.cost import _BASE_JAC_DAMP, _VEL_EPS, FieldStack
 from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec
 from or_cdchomp_tpu.ops import soa
 from or_cdchomp_tpu.ops.grid import (
-    _BIG, _lookup_gather, _lookup_onehot2_qlanes, _pick_method)
+    _BIG, _lookup4_qlanes, _lookup_gather, _lookup_onehot2_qlanes,
+    _pick_method)
+
+# SoA lookup form: "4" gathers center + the chosen neighbor per axis
+# (4 values/query); "7" gathers both neighbors and selects afterwards
+# (the round-3 form).  A/B measured on the config-1 step: see
+# BENCHMARKS.md.
+import os as _os
+
+_SOA_LOOKUP = _os.environ.get("CDX_SOA_LOOKUP", "4")
+# self-collision backend: "pallas" = the pair-block-skipping kernel
+# (ops/pallas_selfcol.py), "xla" = the dense broadcast form below,
+# "pallas_interpret" = kernel in interpreter mode (CPU tests)
+_SELFCOL = _os.environ.get("CDX_SELFCOL", "xla")
+# measurement-only ablation knob: zero out one phase of the SoA cost
+# to get its TRUE wall share (the compiler's per-fusion cycle
+# estimates over-count vs wall ~2x; see BENCHMARKS.md round 4).
+# NEVER set in production: results are wrong by construction.
+_ABLATE = set(_os.environ.get("CDX_ABLATE", "").split(","))
 
 
 def _components(arr2, n):
@@ -92,19 +110,38 @@ def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
 
         idx = (sub[0] * my + sub[1]) * mz + sub[2]      # (m, S, B)
         flat = fields.data[f].reshape(-1)
-        if method == "gather":
+        if "lookup" in _ABLATE:
+            # measurement-only: input-dependent stand-ins so consumers
+            # keep their shapes but the gather machinery vanishes
+            v0 = p[0] * 0.1
+            vn3 = [p[i] * 0.1 for i in range(3)]
+        elif method == "gather":
             # huge-grid fallback: plain gathers, transposed afterwards
             vals = _lookup_gather(flat, idx, strides, dtype)  # (m,S,B,7)
             vals7 = jnp.moveaxis(vals, -1, 0)
+            v0 = vals7[0]
+            vn3 = [jnp.where(use_next[i], vals7[1 + 2 * i],
+                             vals7[2 + 2 * i]) for i in range(3)]
+        elif _SOA_LOOKUP == "4":
+            # neighbor direction is already known: gather only the 4
+            # needed cells (vs 7 candidates + select)
+            nbrs = [(idx + jnp.where(use_next[i], strides[i],
+                                     -strides[i])).reshape(-1)
+                    for i in range(3)]
+            v0q, vnq = _lookup4_qlanes(flat, idx.reshape(-1), nbrs, dtype)
+            v0 = v0q.reshape((m, S, B))
+            vn3 = [vnq[i].reshape((m, S, B)) for i in range(3)]
         else:
             vals7 = _lookup_onehot2_qlanes(flat, idx, strides, dtype)
             vals7 = vals7.reshape((7, m, S, B))
-        v0 = vals7[0]
+            v0 = vals7[0]
+            vn3 = [jnp.where(use_next[i], vals7[1 + 2 * i],
+                             vals7[2 + 2 * i]) for i in range(3)]
         any_inf = jnp.abs(v0) >= big
         value = v0
         g = []
         for i in range(3):
-            vn = jnp.where(use_next[i], vals7[1 + 2 * i], vals7[2 + 2 * i])
+            vn = vn3[i]
             any_inf = any_inf | (jnp.abs(vn) >= big)
             sign = jnp.where(use_next[i], 1.0, -1.0).astype(dtype)
             gi = sign * (vn - v0) * (szf[i] / ln[i])
@@ -157,12 +194,28 @@ def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
 
 
 def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
-                 probs: ChompProblem, x_i, vel, vnorm, v2, safe):
+                 probs: ChompProblem, x_i, vel, vnorm, v2, safe,
+                 method=None):
     """SoA all-pairs self-collision (chomp/cost.py
     self_collision_cost_grad semantics, orcdchomp_mod.cpp:1249-1317).
 
     x_i, vel: vec3 of (m, Sa, B).  Returns (c_self (B,), net vec3).
     """
+    method = _SELFCOL if method is None else method
+    if method.startswith("pallas"):
+        from or_cdchomp_tpu.ops.pallas_selfcol import selfcol_pairs
+
+        Sa = x_i[0].shape[1]
+        rsum = radii_act[:, None] + radii_all[None, :]        # (Sa, So)
+        allow = (~same_link).astype(x_i[0].dtype)
+        xo = jnp.stack([jnp.transpose(probs.inactive_pos[:, :, c])
+                        for c in range(3)])                   # (3, SI, B)
+        net, cost = selfcol_pairs(
+            jnp.stack(x_i), jnp.stack(vel), xo, allow, rsum,
+            probs.epsilon_self, probs.obs_factor_self,
+            interpret=(method == "pallas_interpret"))
+        c_self = jnp.sum(cost, axis=(0, 1))                   # (B,)
+        return c_self, (net[0], net[1], net[2])
     m, Sa, B = x_i[0].shape
     SI = probs.inactive_pos.shape[1]
     if SI:
@@ -253,16 +306,32 @@ def total_cost_grad_batched(spec: ChompSpec, fk, fields: FieldStack,
                         for c in x_all)
 
     with jax.named_scope("obstacle"):
-        c_obs, w_obs, vnorm, v2, safe = _obstacle_soa(
-            spec, fields, radii_act, probs, x_mov, vel, acc, dtype)
+        if "obstacle" in _ABLATE:
+            v2 = soa.norm2(vel)
+            vnorm = jnp.sqrt(v2)
+            safe = vnorm > _VEL_EPS
+            c_obs = jnp.zeros(x_mov[0].shape[-1], dtype)
+            w_obs = tuple(jnp.zeros_like(c) for c in x_mov)
+        else:
+            c_obs, w_obs, vnorm, v2, safe = _obstacle_soa(
+                spec, fields, radii_act, probs, x_mov, vel, acc, dtype)
     with jax.named_scope("selfcol"):
-        c_self, w_self = _selfcol_soa(
-            spec, same_link, radii_act, radii_all, probs,
-            x_mov, vel, vnorm, v2, safe)
+        if "selfcol" in _ABLATE:
+            c_self = jnp.zeros_like(c_obs)
+            w_self = tuple(jnp.zeros_like(c) for c in x_mov)
+        else:
+            c_self, w_self = _selfcol_soa(
+                spec, same_link, radii_act, radii_all, probs,
+                x_mov, vel, vnorm, v2, safe)
 
     with jax.named_scope("jtmap"):
         w = soa.add(w_obs, w_self)
-        G_arm = fk.apply_sphere_jacT_soa(anch_mov, axw_mov, x_mov, w)
+        if "jtmap" in _ABLATE:
+            G_arm = jnp.sum(w[0][:, :, None, :] * 0.0, axis=1) \
+                + jnp.zeros((x_mov[0].shape[0], fk.n_dof,
+                             x_mov[0].shape[-1]), dtype)
+        else:
+            G_arm = fk.apply_sphere_jacT_soa(anch_mov, axw_mov, x_mov, w)
         G_arm = jnp.transpose(G_arm, (2, 0, 1))        # (B, m, n_arm)
         if spec.floating_base:
             # base block (orcdchomp_mod.cpp:1050-1086): Jᵀw =

@@ -272,6 +272,52 @@ def build_B_trC(ops: MetricOperators, init0, final0, n: int):
     return B, trC
 
 
+def affine_generators(ops: MetricOperators):
+    """Closed-form generators of the endpoint-affine metric terms.
+
+    Every E_d is *linear* in (init0, final0): E_0 carries −init0/dt and
+    +final0/dt on its endpoint rows (chomp.c:275-303) and higher orders
+    propagate through the diff matrices only (zero-valued higher-order
+    endpoints, chomp.c:131-141).  Writing E_d = ai_d ⊗ init0 +
+    af_d ⊗ final0 gives
+
+        B    = binit ⊗ init0 + bfinal ⊗ final0,
+        trC  = c_ii·‖init0‖² + c_if·(init0·final0) + c_ff·‖final0‖²,
+
+    with binit = Σ_d s_d K_dᵀ ai_d (likewise bfinal) and the c scalars
+    from the ai/af inner products — so a whole problem batch builds its
+    B/trC as two outer products + three dot products instead of P
+    independent K/E stack evaluations (the round-3 host loop).
+
+    Returns (binit (m,), bfinal (m,), c_ii, c_if, c_ff).
+    """
+    m = ops.m
+    binit = np.zeros(m)
+    bfinal = np.zeros(m)
+    c_ii = c_if = c_ff = 0.0
+    ai = af = None
+    for d in range(ops.D):
+        diff, (ei, ef) = ops.Es_base[d]
+        nd = diff.shape[0]
+        if d == 0:
+            ai = np.zeros(nd)
+            af = np.zeros(nd)
+            if ei is not None:
+                ai[ei] = -1.0 / ops.dt
+            if ef is not None:
+                af[ef] = 1.0 / ops.dt
+        else:
+            ai = diff @ ai
+            af = diff @ af
+        s = ops.wds[d] / ops.num_derivs[d]
+        binit += s * (ops.Ks[d].T @ ai)
+        bfinal += s * (ops.Ks[d].T @ af)
+        c_ii += 0.5 * s * float(ai @ ai)
+        c_if += s * float(ai @ af)
+        c_ff += 0.5 * s * float(af @ af)
+    return binit, bfinal, c_ii, c_if, c_ff
+
+
 def build_Evels(ops: MetricOperators, init0, final0, n: int):
     """Velocity-operator affine part (chomp.c:348-386)."""
     E = np.zeros((ops.m, n))

@@ -154,6 +154,49 @@ class ChompEngine:
         Ev = mm.build_Evels(ops, init0, final0, n)
         return B, trC, Ev
 
+    def build_affine_batch(self, inits, finals, n):
+        """Vectorized :meth:`build_affine` over a problem batch.
+
+        inits/finals: (P, n) endpoint configurations (inits may be None
+        in start_tsr mode).  Returns (B (P, m, n), trC (P,),
+        Evels (P, m, n)) as float64 numpy — identical values to calling
+        build_affine per row (the metric terms are linear in the
+        endpoints; metric.affine_generators), built as two outer
+        products instead of P independent K/E stack evaluations.
+        """
+        from or_cdchomp_tpu.chomp import metric as mm
+        m, dt = self.spec.m, self.spec.dt
+        finals = np.asarray(finals, dtype=np.float64)
+        P = finals.shape[0]
+        if inits is not None:
+            inits = np.asarray(inits, dtype=np.float64)
+        if self.metric_mode == "sep":
+            s = 1.0 / (dt * dt * (m + 1))
+            binit = np.zeros(m)
+            binit[0] = -s
+            bfinal = np.zeros(m)
+            bfinal[m - 1] = -s
+            c_ii = c_ff = 0.5 * s
+            c_if = 0.0
+        else:
+            ops = self.metric_ops
+            if ops is None:
+                ops = mm.build_metric(m, dt, D=self.spec.D,
+                                      has_init0=not self.spec.start_tsr)
+                self.metric_ops = ops
+            binit, bfinal, c_ii, c_if, c_ff = mm.affine_generators(ops)
+        B = bfinal[None, :, None] * finals[:, None, :]
+        trC = c_ff * np.sum(finals * finals, axis=1)
+        Ev = np.zeros((P, m, n))
+        if not self.spec.start_tsr:
+            Ev[:, 0] = -0.5 / dt * inits
+        Ev[:, m - 1] = 0.5 / dt * finals
+        if inits is not None and not self.spec.start_tsr:
+            B = B + binit[None, :, None] * inits[:, None, :]
+            trC = trC + c_ii * np.sum(inits * inits, axis=1) \
+                + c_if * np.sum(inits * finals, axis=1)
+        return B, trC, Ev
+
     # -- trajectory row bookkeeping ----------------------------------------
 
     @property

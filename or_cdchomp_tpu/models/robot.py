@@ -358,6 +358,23 @@ class CompiledFK:
         mask = model.ancestor_dof_mask()[model.sphere_link[subset]]
         self._sphere_dof_mask = jnp.asarray(mask)
         self._sphere_dof_mask_np = np.asarray(mask)
+        # suffix structure of the mask (serial chains): when every
+        # sphere's affected-dof set is a prefix [0, k_s), sorting
+        # spheres by k_s makes each dof's affected-sphere set a suffix
+        # of the sorted order — the (S, D)-masked reductions of the Jᵀ
+        # map then collapse to one reverse cumsum over S plus D static
+        # row picks (apply_sphere_jacT_soa), cutting the jtmap phase's
+        # dominant (m, S, D, B) broadcast-reduce work ~D-fold.
+        self._jt_suffix = None
+        S, D = mask.shape
+        if S and D:
+            k = mask.sum(axis=1)
+            if np.all(mask == (np.arange(D)[None, :] < k[:, None])):
+                order = np.argsort(k, kind="stable")
+                # start_d = #spheres with k_s <= d  (suffix start row)
+                start = np.searchsorted(k[order], np.arange(D),
+                                        side="right")
+                self._jt_suffix = (order, start)
         self._axis_np = np.asarray(model.axis, dtype=np.float64)
         self._jtype_per_dof_np = np.asarray(
             [self._jtype[self._dof_link[d]] for d in range(model.n_dof)])
@@ -664,13 +681,33 @@ class CompiledFK:
         """
         from or_cdchomp_tpu.ops import soa
 
-        mask = self._sphere_dof_mask_np.astype(np.float32)  # (S, D)
-        maskb = jnp.asarray(mask[None, :, :, None], dtype=w[0].dtype)
-
         xw = soa.cross(x, w)
 
-        def red_sd(comp):  # (m, S, B) → Σ_s mask · comp → (m, D, B)
-            return jnp.sum(comp[:, :, None, :] * maskb, axis=1)
+        if self._jt_suffix is not None:
+            order, start = self._jt_suffix
+            S = len(order)
+
+            def red_sd(comp):  # (m, S, B) → Σ_{s: mask_sd} comp_s
+                # suffix-sum trick (see __init__): reorder via static
+                # slices (a dynamic gather would serialize on TPU),
+                # reverse-cumsum over spheres, pick each dof's suffix
+                # start row — O(m·S·B) instead of O(m·S·D·B)
+                if np.array_equal(order, np.arange(S)):
+                    so = comp
+                else:
+                    so = jnp.concatenate(
+                        [comp[:, i:i + 1, :] for i in order], axis=1)
+                suf = jnp.cumsum(so[:, ::-1, :], axis=1)[:, ::-1, :]
+                zero = jnp.zeros_like(suf[:, :1, :])
+                suf = jnp.concatenate([suf, zero], axis=1)
+                return jnp.concatenate(
+                    [suf[:, s:s + 1, :] for s in start], axis=1)
+        else:
+            mask = self._sphere_dof_mask_np.astype(np.float32)  # (S, D)
+            maskb = jnp.asarray(mask[None, :, :, None], dtype=w[0].dtype)
+
+            def red_sd(comp):  # (m, S, B) → Σ_s mask · comp → (m, D, B)
+                return jnp.sum(comp[:, :, None, :] * maskb, axis=1)
 
         sum_xw = tuple(red_sd(cc) for cc in xw)
         sum_w = tuple(red_sd(cc) for cc in w)

@@ -191,8 +191,11 @@ int cdx_signed_edt(const uint8_t* occ, double* out, int64_t nx, int64_t ny,
 //
 // Host-parallel counterpart of ops/voxelize.py:voxelize_scene with the
 // same semantics: exact 15-axis SAT for oriented boxes, exact
-// closest-point test for spheres, conservative circumscribed-sphere
-// test for cylinders.  All primitives are given in the *grid* frame
+// closest-point test for spheres, and for cylinders inscribed/
+// circumscribed sphere bounds plus an alternating-projection
+// closest-pair iteration for the undecided shell (exact to ~1e-6 m,
+// matching the reference's probe-cube collision semantics,
+// orcdchomp_mod.cpp:495-525).  All primitives are given in the *grid* frame
 // (pose7 = [x y z qx qy qz qw]); cell centers are
 // (sub+0.5)/size*length.  Used for very large grids where the in-graph
 // device voxelization would blow HBM (cells x primitives broadcast).
@@ -306,16 +309,64 @@ int cdx_voxelize(int64_t nx, int64_t ny, int64_t nz, const double* lengths,
             const CylPre& c = cyls[ci];
             double d[3] = {p[0] - c.c[0], p[1] - c.c[1], p[2] - c.c[2]};
             // local = R^T d  (R is cyl->grid)
-            double lx = c.R[0] * d[0] + c.R[3] * d[1] + c.R[6] * d[2];
-            double ly = c.R[1] * d[0] + c.R[4] * d[1] + c.R[7] * d[2];
-            double lz = c.R[2] * d[0] + c.R[5] * d[1] + c.R[8] * d[2];
-            double dr = std::sqrt(lx * lx + ly * ly) - c.r;
-            double dz = std::fabs(lz) - c.hh;
+            double cl[3];
+            cl[0] = c.R[0] * d[0] + c.R[3] * d[1] + c.R[6] * d[2];
+            cl[1] = c.R[1] * d[0] + c.R[4] * d[1] + c.R[7] * d[2];
+            cl[2] = c.R[2] * d[0] + c.R[5] * d[1] + c.R[8] * d[2];
+            double dr = std::sqrt(cl[0] * cl[0] + cl[1] * cl[1]) - c.r;
+            double dz = std::fabs(cl[2]) - c.hh;
             double qx = dr > 0 ? dr : 0, qy = dz > 0 ? dz : 0;
             double outside = std::sqrt(qx * qx + qy * qy);
             double inside = std::fmax(dr, dz);
             double sd = outside + (inside < 0 ? inside : 0);
-            hit = sd <= e3;
+            if (sd <= e) { hit = true; continue; }   // inscribed sphere
+            if (sd > e3) continue;                   // circumscribed miss
+            // shell cell: alternating projections (Cheney-Goldstein)
+            // between solid cube and solid cylinder — both convex, so
+            // the pair distance converges to the true set distance.
+            // Work in the cylinder frame: the cube is an OBB centered
+            // at cl with axes = rows of R^T (columns of R), half e.
+            double q[3];  // current cylinder-side point
+            {
+              double z = cl[2] < -c.hh ? -c.hh : (cl[2] > c.hh ? c.hh : cl[2]);
+              double rxy = std::sqrt(cl[0] * cl[0] + cl[1] * cl[1]);
+              double s = rxy > c.r ? c.r / (rxy > 1e-30 ? rxy : 1e-30) : 1.0;
+              q[0] = cl[0] * s; q[1] = cl[1] * s; q[2] = z;
+            }
+            double u[3] = {0, 0, 0};
+            double gap2 = 1e30;
+            for (int it = 0; it < 96; it++) {
+              // project q onto the cube: coords along cube axes are
+              // rows of R (since columns of R are the axes in cyl frame)
+              double rel[3] = {q[0] - cl[0], q[1] - cl[1], q[2] - cl[2]};
+              for (int k = 0; k < 3; k++) {
+                // k-th cube axis in cyl frame = (R[k*3], R[k*3+1], R[k*3+2])^T? no:
+                // axis_k = column k of R^T = row k of R
+                double a0 = c.R[k * 3], a1 = c.R[k * 3 + 1],
+                       a2 = c.R[k * 3 + 2];
+                double t = rel[0] * a0 + rel[1] * a1 + rel[2] * a2;
+                u[k] = t < -e ? -e : (t > e ? e : t);
+              }
+              double pbox[3];
+              for (int k = 0; k < 3; k++)
+                pbox[k] = cl[k] + c.R[0 * 3 + k] * u[0] +
+                          c.R[1 * 3 + k] * u[1] + c.R[2 * 3 + k] * u[2];
+              // project pbox onto the cylinder
+              double z = pbox[2] < -c.hh ? -c.hh
+                                         : (pbox[2] > c.hh ? c.hh : pbox[2]);
+              double rxy = std::sqrt(pbox[0] * pbox[0] + pbox[1] * pbox[1]);
+              double s = rxy > c.r ? c.r / (rxy > 1e-30 ? rxy : 1e-30) : 1.0;
+              double qn[3] = {pbox[0] * s, pbox[1] * s, z};
+              double dd = (qn[0] - pbox[0]) * (qn[0] - pbox[0]) +
+                          (qn[1] - pbox[1]) * (qn[1] - pbox[1]) +
+                          (qn[2] - pbox[2]) * (qn[2] - pbox[2]);
+              q[0] = qn[0]; q[1] = qn[1]; q[2] = qn[2];
+              gap2 = dd;
+              if (dd <= 1e-12) break;  // converged to contact
+            }
+            // 1e-4 m contact tolerance — matches ops/voxelize.py
+            // (_AP_TOL); slow tangential convergence still classifies
+            if (gap2 <= 1e-8) hit = true;
           }
           row[iz] |= hit ? 1 : 0;
         }

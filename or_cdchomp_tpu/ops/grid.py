@@ -324,6 +324,50 @@ def _lookup_onehot2_qlanes(flat, idx, strides, dtype):
     return jnp.sum(T.reshape(7, H, -1) * oh_hi[None], axis=1)  # (7, Q)
 
 
+def _onehot2_lookup_qlanes_one(flat_def, qi, dtype):
+    """One gathered value per query via the two-sided one-hot form:
+    (H, L) @ (L, Q) + hi-select.  ``flat_def`` must already be padded
+    to H·L and inf-replaced.  Returns (Q,)."""
+    L = _ONEHOT2_L
+    H = flat_def.shape[0] // L
+    A = flat_def.reshape(H, L)
+    hi = qi // L
+    lo = qi - hi * L
+    oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
+             ).astype(dtype)                                   # (L, Q)
+    T = jnp.dot(A.astype(dtype), oh_lo,
+                preferred_element_type=dtype)                  # (H, Q)
+    oh_hi = (jnp.arange(H, dtype=jnp.int32)[:, None] == hi[None, :]
+             ).astype(dtype)                                   # (H, Q)
+    return jnp.sum(T * oh_hi, axis=0)                          # (Q,)
+
+
+def _lookup4_qlanes(flat, idx, nbr_idx3, dtype):
+    """Four-value lookup: center + the *chosen* neighbor per axis.
+
+    The caller already knows each axis's neighbor direction (use_next,
+    grid.c:331-454 one-sided rule), so only 4 of the 7 candidate cells
+    are ever consumed — the 7-table form gathers both neighbors per
+    axis and selects afterwards.  XLA rewrites each one-hot dot into an
+    internal gather, so this cuts gathered values 7 → 4 (the lookup dot
+    was 38.6% of round-3 step cycles).
+
+    flat: (cells,); idx: (Q,) center flat index; nbr_idx3: 3 arrays of
+    (Q,) per-axis neighbor flat indices.  Returns (v0 (Q,), vn (3, Q)).
+    """
+    flat = _definite(flat)
+    L = _ONEHOT2_L
+    cells = flat.shape[0]
+    pad = -cells % L
+    if pad:
+        flat = jnp.pad(flat, (0, pad),
+                       constant_values=_BIG.astype(flat.dtype) / 2)
+    v0 = _onehot2_lookup_qlanes_one(flat, idx, dtype)
+    vn = jnp.stack([_onehot2_lookup_qlanes_one(flat, nb, dtype)
+                    for nb in nbr_idx3])
+    return v0, vn
+
+
 def _pick_method(cells):
     """Lookup backend: the two-sided one-hot factorization (a real MXU
     matmul over the lane axis + cheap hi-select — measured 3-4x faster

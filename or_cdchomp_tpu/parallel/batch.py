@@ -65,11 +65,10 @@ def problem_batch_from_grid(problem: ChompProblem, starts, goals,
     a = np.linspace(0.0, 1.0, npts)[None, :, None]
     trajs = (1 - a) * starts[:, None, :] + a * goals[:, None, :]
 
-    affines = [engine.build_affine(trajs[i, 0], trajs[i, -1], n)
-               for i in range(P_)]
-    B = np.stack([af[0] for af in affines])
-    trC = np.array([af[1] for af in affines])
-    Ev = np.stack([af[2] for af in affines])
+    # vectorized affine terms: two outer products + three dot products
+    # (metric.affine_generators) instead of P per-problem K/E stacks —
+    # the round-3 host loop cost multiple seconds at P = 10,240
+    B, trC, Ev = engine.build_affine_batch(trajs[:, 0], trajs[:, -1], n)
 
     if seeds is None:
         seeds = np.arange(P_)
@@ -163,33 +162,74 @@ class BatchSolver:
             probs, costs = run(probs)
         return probs, jnp.moveaxis(costs, 1, 0)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
-    def iterate_until(self, probs: ChompProblem, chunk: int, tol: float):
-        """One convergence-checked chunk: run ``chunk`` iterations and
-        report (problems, last_costs (P, 3), all_converged ()).
+    # -- masked drivers: one executable across varying budgets/tols -----
+    #
+    # The static-n_iter iterate() above recompiles per (n_iter) value;
+    # a sweep that varies per-call budgets or tolerances pays a fresh
+    # XLA compile each time (round-3 weak #6).  These mirror
+    # ChompEngine.iterate_masked at the batch level: the step count
+    # inside the scan is a *traced* valid count over a fixed chunk, and
+    # the convergence tolerance is traced too — one compile per
+    # (engine, chunk_size) serves every budget and tolerance.
+
+    def _masked_scan(self, probs: ChompProblem, valid, chunk_size: int):
+        valid = jnp.asarray(valid, jnp.int32)
+        if self.engine.batch_native_ok:
+            step = self.engine.step_batched
+        else:
+            def step(p):
+                p2, costs = jax.vmap(self.engine.step)(p)
+                return p2, jnp.stack(costs, axis=-1)
+
+        def body(p, i):
+            p2, costs = step(p)
+            take = i < valid
+            p2 = jax.tree.map(lambda a, b: jnp.where(take, a, b), p2, p)
+            return p2, costs
+
+        return jax.lax.scan(body, probs,
+                            jnp.arange(chunk_size, dtype=jnp.int32))
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def iterate_masked(self, probs: ChompProblem, valid, chunk_size: int):
+        """``chunk_size`` batched steps with the first ``valid`` (a
+        *traced* scalar) applied.  Returns (problems,
+        costs (chunk_size, P, 3)); rows ≥ valid are garbage."""
+        return self._masked_scan(probs, valid, chunk_size)
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def iterate_until(self, probs: ChompProblem, valid, chunk_size: int,
+                      tol=0.0):
+        """One convergence-checked masked chunk: run ``valid`` of
+        ``chunk_size`` iterations, report (problems, last_costs (P, 3),
+        all_converged ()).  ``valid`` and ``tol`` are traced — varying
+        budgets and tolerances reuse one executable.
 
         The convergence test is a full-batch reduction — under dp
         sharding XLA lowers the global all() to an ICI psum.
         """
-        probs, costs = self.iterate(probs, chunk)
-        drop = costs[0, :, 0] - costs[-1, :, 0]
+        probs, costs = self._masked_scan(probs, valid, chunk_size)
+        valid = jnp.asarray(valid, jnp.int32)
+        last = jax.lax.dynamic_index_in_dim(costs, valid - 1, axis=0,
+                                            keepdims=False)
+        drop = costs[0, :, 0] - last[:, 0]
         converged = jnp.all(drop < tol)
-        return probs, costs[-1], converged
+        return probs, last, converged
 
     def solve(self, probs: ChompProblem, n_iter: int, chunk: int = 10,
               tol: Optional[float] = None):
         """Host driver: runs up to n_iter iterations in chunks; stops
-        early when converged (if tol given)."""
+        early when converged (if tol given).  All chunks — including the
+        ragged tail — reuse one compiled executable per engine."""
         probs = self.shard(probs)
         done = 0
-        last = None
         while done < n_iter:
             todo = min(chunk, n_iter - done)
             if tol is None:
-                probs, costs = self.iterate(probs, todo)
-                last = costs[-1]
+                probs, _ = self.iterate_masked(probs, todo, chunk)
             else:
-                probs, last, conv = self.iterate_until(probs, todo, tol)
+                probs, _, conv = self.iterate_until(probs, todo, chunk,
+                                                    tol)
                 if bool(conv):
                     done += todo
                     break

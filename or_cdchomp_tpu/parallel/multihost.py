@@ -78,9 +78,14 @@ def host_local_batch(global_batch: int) -> tuple:
     return start, size
 
 
-def make_global_problems(probs_local, mesh: Mesh, axis: str = "dp"):
+def make_global_problems(probs_local, mesh: Mesh, axis="dp"):
     """Assemble a globally-sharded problem pytree from per-host local
     shards (each host passes only its own rows).
+
+    ``axis`` may be a single mesh-axis name or a tuple — e.g.
+    ``("hosts", "dp")`` shards the problem batch over both axes of a
+    2-d :func:`pod_mesh` (host-major, matching host_local_batch's
+    row split).
 
     Single-process: equivalent to ``jax.device_put`` with the batch
     sharded over the mesh.

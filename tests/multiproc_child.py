@@ -80,6 +80,19 @@ def main():
     best, idx = mh.all_hosts_best(probs, jnp.stack(finals, axis=-1))
 
     total_mean = float(jax.jit(jnp.mean)(finals[0]))
+
+    # --- same solve on the 2-d (hosts, local) mesh: the batch sharded
+    # over BOTH axes host-major (VERDICT r3 #8 — pod_mesh(hosts_axis=…)
+    # executing at process_count > 1) ---
+    mesh2 = mh.pod_mesh(hosts_axis="hosts")
+    assert mesh2.devices.shape == (nprocs, 2), mesh2.devices.shape
+    probs2 = mh.make_global_problems(probs_local, mesh2, ("hosts", "dp"))
+    solver2 = BatchSolver(engine, mesh=mesh2, axis=("hosts", "dp"),
+                          chunk=None)
+    probs2, _ = solver2.iterate(probs2, N_ITER)
+    finals2 = engine.final_costs_batch(probs2)
+    best2, idx2 = mh.all_hosts_best(probs2, jnp.stack(finals2, axis=-1))
+
     result = {
         "rank": rank,
         "process_count": jax.process_count(),
@@ -87,6 +100,10 @@ def main():
         "best_idx": int(idx),
         "best_cost": float(jax.jit(jnp.min)(finals[0])),
         "finals_mean": total_mean,
+        "hosts_mesh_shape": list(mesh2.devices.shape),
+        "hosts_best_idx": int(idx2),
+        "hosts_best_cost": float(jax.jit(jnp.min)(finals2[0])),
+        "hosts_finals_mean": float(jax.jit(jnp.mean)(finals2[0])),
     }
     print("RESULT " + json.dumps(result), flush=True)
 

@@ -68,6 +68,16 @@ def test_two_process_distributed_matches_single_process():
     np.testing.assert_allclose(r0["best_cost"], r1["best_cost"], rtol=0)
     np.testing.assert_allclose(r0["finals_mean"], r1["finals_mean"], rtol=0)
 
+    # the 2-d (hosts, local) mesh ran at process_count=2 and produced
+    # the flat-mesh answer bit-for-bit (VERDICT r3 #8)
+    for r in (r0, r1):
+        assert r["hosts_mesh_shape"] == [2, 2]
+        assert r["hosts_best_idx"] == r["best_idx"]
+        np.testing.assert_allclose(r["hosts_best_cost"], r["best_cost"],
+                                   rtol=0)
+        np.testing.assert_allclose(r["hosts_finals_mean"],
+                                   r["finals_mean"], rtol=0)
+
     # single-process reference: same world, same batch, no distribution
     import jax
     import jax.numpy as jnp
