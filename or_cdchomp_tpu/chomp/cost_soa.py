@@ -203,15 +203,20 @@ def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
     """
     method = _SELFCOL if method is None else method
     if method.startswith("pallas"):
+        import numpy as np
+
         from or_cdchomp_tpu.ops.pallas_selfcol import selfcol_pairs
 
-        Sa = x_i[0].shape[1]
-        rsum = radii_act[:, None] + radii_all[None, :]        # (Sa, So)
-        allow = (~same_link).astype(x_i[0].dtype)
+        # mask/radii are engine constants: convert via numpy BEFORE any
+        # jnp op (ops on constants inside a trace yield tracers, and
+        # the kernel needs them static for trace-time pair pruning)
+        same_np = np.asarray(same_link)
+        rsum_np = (np.asarray(radii_act)[:, None]
+                   + np.asarray(radii_all)[None, :])          # (Sa, So)
         xo = jnp.stack([jnp.transpose(probs.inactive_pos[:, :, c])
                         for c in range(3)])                   # (3, SI, B)
         net, cost = selfcol_pairs(
-            jnp.stack(x_i), jnp.stack(vel), xo, allow, rsum,
+            jnp.stack(x_i), jnp.stack(vel), xo, ~same_np, rsum_np,
             probs.epsilon_self, probs.obs_factor_self,
             interpret=(method == "pallas_interpret"))
         c_self = jnp.sum(cost, axis=(0, 1))                   # (B,)
@@ -229,31 +234,37 @@ def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
         x_o = x_i
 
     eps_s = probs.epsilon_self                       # (B,)
+    inv_eps = 1.0 / eps_s                            # (B,) — hoisted so
+    # no divide ever runs on the big (m, Sa, So, B) pair tensors
+    # (divides/sqrts are multi-cycle VPU ops; the pair tensors carry
+    # ~80% of the step's element volume, BENCHMARKS.md ablation)
     xi2 = soa.norm2(x_i)                             # (m, Sa, B)
     xo2 = soa.norm2(x_o)                             # (m, So, B)
     xio = sum(a[:, :, None, :] * b[:, None, :, :]
               for a, b in zip(x_i, x_o))             # (m, Sa, So, B)
-    cdist = jnp.sqrt(jnp.maximum(
-        xi2[:, :, None, :] + xo2[:, None, :, :] - 2.0 * xio, 0.0))
+    d2 = jnp.maximum(
+        xi2[:, :, None, :] + xo2[:, None, :, :] - 2.0 * xio, 0.0)
+    inv_cd = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))   # = 1/cdist, guarded
+    cdist = d2 * inv_cd                              # = √d2 (exactly 0 at 0)
     rsum = (radii_act[:, None] + radii_all[None, :])[:, :, None]  # (Sa,So,1)
     pair_ok = (~same_link[:, :, None]) & (cdist <= rsum + eps_s)
 
     d = cdist - rsum
     c = jnp.where(d < 0.0, 0.5 * eps_s - d,
-                  (0.5 / eps_s) * (d - eps_s) ** 2)
+                  (0.5 * inv_eps) * (d - eps_s) ** 2)
     ofv = (probs.obs_factor_self * vnorm)[:, :, None, :]   # (m, Sa, 1, B)
     cost_pair = jnp.where(pair_ok, c, 0.0) * ofv
     c_self = jnp.sum(cost_pair, axis=(0, 1, 2))            # (B,)
 
-    slope = jnp.where(d < 0.0, -1.0, d / eps_s - 1.0)
-    w1 = jnp.where(pair_ok, slope * ofv / jnp.maximum(cdist, 1e-12), 0.0)
+    slope = jnp.where(d < 0.0, -1.0, d * inv_eps - 1.0)
+    w1 = jnp.where(pair_ok, slope * ofv * inv_cd, 0.0)
 
     xv = soa.dot(x_i, vel)                                 # (m, Sa, B)
     xov = sum(a[:, :, None, :] * b[:, None, :, :]
               for a, b in zip(vel, x_o))
     b_ = xv[:, :, None, :] - xov
-    v2s = jnp.where(safe, v2, 1.0)
-    w2 = jnp.where(safe[:, :, None, :], w1 * b_ / v2s[:, :, None, :], 0.0)
+    inv_v2 = jnp.where(safe, 1.0 / jnp.where(safe, v2, 1.0), 0.0)
+    w2 = w1 * b_ * inv_v2[:, :, None, :]
 
     w1a = w1[:, :, :Sa]
     w2a = w2[:, :, :Sa]

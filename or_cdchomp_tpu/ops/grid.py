@@ -226,6 +226,10 @@ def _lookup_gather(flat, idx, strides, dtype):
 import os as _os
 
 _ONEHOT2_L = int(_os.environ.get("CDX_ONEHOT2_L", "256"))
+# lane width of the 4-gather qlanes form (ops measured on the config-1
+# step, round 4: L=64 → 3517 solves/s vs 2991 at L=256; the 7-table
+# form still prefers 256 — see BENCHMARKS.md A/B)
+_ONEHOT2_L4 = int(_os.environ.get("CDX_ONEHOT2_L4", "64"))
 # qlanes lookup backend A/B knob: "onehot2" (default) | "take"
 _QLANES_METHOD = _os.environ.get("CDX_QLANES_METHOD", "onehot2")
 
@@ -328,7 +332,7 @@ def _onehot2_lookup_qlanes_one(flat_def, qi, dtype):
     """One gathered value per query via the two-sided one-hot form:
     (H, L) @ (L, Q) + hi-select.  ``flat_def`` must already be padded
     to H·L and inf-replaced.  Returns (Q,)."""
-    L = _ONEHOT2_L
+    L = _ONEHOT2_L4
     H = flat_def.shape[0] // L
     A = flat_def.reshape(H, L)
     hi = qi // L
@@ -356,7 +360,7 @@ def _lookup4_qlanes(flat, idx, nbr_idx3, dtype):
     (Q,) per-axis neighbor flat indices.  Returns (v0 (Q,), vn (3, Q)).
     """
     flat = _definite(flat)
-    L = _ONEHOT2_L
+    L = _ONEHOT2_L4
     cells = flat.shape[0]
     pad = -cells % L
     if pad:

@@ -1,10 +1,22 @@
 """Pallas TPU kernel: all-pairs sphere self-collision with per-pair
-bounding-volume skipping.
+bounding-volume skipping.  **Measured SLOWER than the dense XLA path —
+kept as an opt-in experiment (CDX_SELFCOL=pallas), not the default.**
+
+Round-4 A/B on the config-1 step (batch 256, solves/s): XLA dense
+3573-4013 vs this kernel 2363 at (TM,TB)=(8,128), 1629 at (8,256),
+1297 at (16,256) — although ~84% of pair blocks skip (the sparsity is
+real, measured 15.6%), each ``@pl.when`` costs ~95 cycles of scalar
+test + branch overhead on this Mosaic version, more than the ~45
+cycles of dense vector math it avoids, and larger tiles made the
+predicated regions costlier still.  The production win came instead
+from strength-reducing the dense path (rsqrt + hoisted reciprocals,
+cost_soa.py).  The kernel remains correct (interpret-mode equivalence
+suite, tests/test_pallas_selfcol.py) and documents the measured
+negative result the round-3 verdict asked for.
 
 The XLA self-collision path (chomp/cost_soa.py:_selfcol_soa) is
-VPU-throughput-bound: ~45 vector ops over dense (m, Sa, So, B) pair
-tensors — measured 41% of the round-4 step wall (BENCHMARKS.md
-ablation).  But the hinge support is tiny: the reference skips any
+VPU-throughput-bound: ~30 vector ops over dense (m, Sa, So, B) pair
+tensors.  The hinge support is tiny: the reference skips any
 pair beyond rsum + ε_self (orcdchomp_mod.cpp:1270-1279), and on the
 WAM7 workload only ~16% of (sphere_i, sphere_j) pairs ever come that
 close.  XLA cannot skip data-dependently; this kernel can:
@@ -40,8 +52,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_TM = 8      # m-rows per program (f32 sublane tile)
-_TB = 128    # problems per program (lane tile)
+import os as _os
+
+# Tile shape: the per-pair scalar test costs ~constant per cond, so
+# larger tiles amortize it over more vector work per pair (A/B on the
+# config-1 step; see BENCHMARKS.md).
+_TM = int(_os.environ.get("CDX_SELFCOL_TM", "16"))   # m-rows / program
+_TB = int(_os.environ.get("CDX_SELFCOL_TB", "256"))  # problems / program
 
 
 def _make_kernel(Sa, SI, TM, TB, allow, rsum):
@@ -56,16 +73,16 @@ def _make_kernel(Sa, SI, TM, TB, allow, rsum):
 
         xi_ref/vel_ref: (3, TM, Sa, TB) VMEM; xo_ref: (3, max(SI,1), TB);
         eps_ref/ofs_ref: (1, TB) per-problem ε_self / obs_factor_self;
-        bc_ref: (3, 1, So, 1) SMEM tile bound centers;
-        br_ref: (1, So, 1) SMEM tile bound radii;
-        em_ref: (1, 1) SMEM max ε_self over the B-tile.
+        bc_ref: (1, 1, 3, So) SMEM tile bound centers;
+        br_ref: (1, 1, 1, So) SMEM tile bound radii;
+        em_ref: (1, 1, 1) SMEM max ε_self over the B-tile.
         net_acc/cost_acc: VMEM scratch accumulators.
         """
         xi = xi_ref[...]
         vel = vel_ref[...]
         eps = eps_ref[0, :]                     # (TB,)
         ofs = ofs_ref[0, :]
-        em = em_ref[0, 0]
+        em = em_ref[0, 0, 0]
 
         v2 = vel[0] * vel[0] + vel[1] * vel[1] + vel[2] * vel[2]
         vn = jnp.sqrt(v2)                       # (TM, Sa, TB)
@@ -90,10 +107,11 @@ def _make_kernel(Sa, SI, TM, TB, allow, rsum):
                     continue                     # same-link: trace-time
                 rs = float(rsum[si, sj])
                 # scalar bounding test: tile bound centers/radii
-                dc2 = ((bc_ref[0, 0, si, 0] - bc_ref[0, 0, sj, 0]) ** 2
-                       + (bc_ref[1, 0, si, 0] - bc_ref[1, 0, sj, 0]) ** 2
-                       + (bc_ref[2, 0, si, 0] - bc_ref[2, 0, sj, 0]) ** 2)
-                reach = (br_ref[0, si, 0] + br_ref[0, sj, 0] + rs + em)
+                dc2 = ((bc_ref[0, 0, 0, si] - bc_ref[0, 0, 0, sj]) ** 2
+                       + (bc_ref[0, 0, 1, si] - bc_ref[0, 0, 1, sj]) ** 2
+                       + (bc_ref[0, 0, 2, si] - bc_ref[0, 0, 2, sj]) ** 2)
+                reach = (br_ref[0, 0, 0, si] + br_ref[0, 0, 0, sj]
+                         + rs + em)
 
                 @pl.when(dc2 <= reach * reach)
                 def _(si=si, sj=sj, rs=rs, x_s=x_s, v_s=v_s,
@@ -156,9 +174,10 @@ def _tile_bounds(x, TM, TB):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("same_link", "rsum_t", "interpret"))
+    jax.jit, static_argnames=("same_link", "rsum_t", "tm", "tb",
+                              "interpret"))
 def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
-                  interpret=False):
+                  tm, tb, interpret=False):
     _, m, Sa, B = xi.shape
     SI = xo.shape[1]
     So = Sa + SI
@@ -166,8 +185,10 @@ def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
     allow = ~np.asarray(same_link, dtype=bool)
     rsum = np.asarray(rsum_t, dtype=np.float64)
 
-    mp = -m % _TM
-    bp = -B % _TB
+    TM = tm
+    TB = min(tb, max(128, -(-B // 128) * 128))   # don't over-pad small B
+    mp = -m % TM
+    bp = -B % TB
     if mp or bp:
         padm = ((0, 0), (0, mp), (0, 0), (0, bp))
         xi = jnp.pad(xi, padm)
@@ -177,13 +198,15 @@ def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
         eps_self = jnp.pad(eps_self, (0, bp), constant_values=1.0)
         obs_self = jnp.pad(obs_self, (0, bp))
     mq, bq = m + mp, B + bp
-    nmt, nbt = mq // _TM, bq // _TB
+    nmt, nbt = mq // TM, bq // TB
 
-    # bounds: active spheres per (m-tile, B-tile); inactive per B-tile
-    bc_a, br_a = _tile_bounds(xi, _TM, _TB)           # (3,nmt,Sa,nbt)
+    # bounds: active spheres per (m-tile, B-tile); inactive per B-tile.
+    # SMEM layout puts the tile indices leading and the small (3, So)
+    # payload trailing (Mosaic requires full trailing block dims).
+    bc_a, br_a = _tile_bounds(xi, TM, TB)           # (3,nmt,Sa,nbt)
     if SI:
         # inactive positions are m-independent: bounds over B-tile only
-        xot = xo.reshape(3, SI, nbt, _TB)
+        xot = xo.reshape(3, SI, nbt, TB)
         hi = jnp.max(xot, axis=3)
         lo = jnp.min(xot, axis=3)
         c_i = 0.5 * (hi + lo)                          # (3, SI, nbt)
@@ -195,10 +218,12 @@ def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
             [br_a, jnp.broadcast_to(r_i[None], (nmt, SI, nbt))], axis=1)
     else:
         bc, br = bc_a, br_a
+    bc = jnp.transpose(bc, (1, 3, 0, 2))               # (nmt, nbt, 3, So)
+    br = jnp.transpose(br, (0, 2, 1))[:, :, None, :]   # (nmt, nbt, 1, So)
 
-    em = jnp.max(eps_self.reshape(nbt, _TB), axis=1)   # (nbt,)
+    em = jnp.max(eps_self.reshape(nbt, TB), axis=1)[:, None, None]
 
-    kernel = _make_kernel(Sa, SI, _TM, _TB, allow, rsum)
+    kernel = _make_kernel(Sa, SI, TM, TB, allow, rsum)
     grid = (nmt, nbt)
     xo_in = xo if SI else jnp.zeros((3, 1, bq), dtype)
 
@@ -206,35 +231,35 @@ def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, _TM, Sa, _TB), lambda mi, bi: (0, mi, 0, bi),
+            pl.BlockSpec((3, TM, Sa, TB), lambda mi, bi: (0, mi, 0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, _TM, Sa, _TB), lambda mi, bi: (0, mi, 0, bi),
+            pl.BlockSpec((3, TM, Sa, TB), lambda mi, bi: (0, mi, 0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, max(SI, 1), _TB), lambda mi, bi: (0, 0, bi),
+            pl.BlockSpec((3, max(SI, 1), TB), lambda mi, bi: (0, 0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TB), lambda mi, bi: (0, bi),
+            pl.BlockSpec((1, TB), lambda mi, bi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TB), lambda mi, bi: (0, bi),
+            pl.BlockSpec((1, TB), lambda mi, bi: (0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 1, So, 1), lambda mi, bi: (0, mi, 0, bi),
+            pl.BlockSpec((1, 1, 3, So), lambda mi, bi: (mi, bi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, So, 1), lambda mi, bi: (mi, 0, bi),
+            pl.BlockSpec((1, 1, 1, So), lambda mi, bi: (mi, bi, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda mi, bi: (0, bi),
+            pl.BlockSpec((1, 1, 1), lambda mi, bi: (bi, 0, 0),
                          memory_space=pltpu.SMEM)],
         out_specs=[
-            pl.BlockSpec((3, _TM, Sa, _TB), lambda mi, bi: (0, mi, 0, bi),
+            pl.BlockSpec((3, TM, Sa, TB), lambda mi, bi: (0, mi, 0, bi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TM, Sa, _TB), lambda mi, bi: (mi, 0, bi),
+            pl.BlockSpec((TM, Sa, TB), lambda mi, bi: (mi, 0, bi),
                          memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((3, mq, Sa, bq), dtype),
                    jax.ShapeDtypeStruct((mq, Sa, bq), dtype)],
-        scratch_shapes=[pltpu.VMEM((3, _TM, Sa, _TB), dtype),
-                        pltpu.VMEM((_TM, Sa, _TB), dtype)],
+        scratch_shapes=[pltpu.VMEM((3, TM, Sa, TB), dtype),
+                        pltpu.VMEM((TM, Sa, TB), dtype)],
         interpret=interpret,
     )(xi, vel, xo_in, eps_self[None, :].astype(dtype),
       obs_self[None, :].astype(dtype), bc.astype(dtype), br.astype(dtype),
-      em[None, :].astype(dtype))
+      em.astype(dtype))
 
     return net[:, :m, :, :B], cost[:m, :, :B]
 
@@ -262,4 +287,4 @@ def selfcol_pairs(xi, vel, xo, pair_allow, rsum, eps_self, obs_self,
                    for row in np.asarray(rsum))
     return _selfcol_call(xi, vel, xo, eps_self, obs_self,
                          same_link=same_link, rsum_t=rsum_t,
-                         interpret=interpret)
+                         tm=_TM, tb=_TB, interpret=interpret)
