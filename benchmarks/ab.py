@@ -64,6 +64,8 @@ def main():
         "abl_selfcol": {"ablate": {"selfcol"}},
         "abl_lookup": {"ablate": {"lookup"}},
         "abl_jtmap": {"ablate": {"jtmap"}},
+        "abl_limits": {"ablate": {"limits"}},
+        "stack0": {"stack": False},
     }
 
     base = dict(lookup=cost_soa._SOA_LOOKUP, selfcol=cost_soa._SELFCOL,
@@ -72,6 +74,7 @@ def main():
     from or_cdchomp_tpu.ops import pallas_selfcol
 
     base["tm"], base["tb"] = pallas_selfcol._TM, pallas_selfcol._TB
+    base["stack"] = grid._LOOKUP4_STACK
     for arm in args.arms.split(","):
         cfg = ARMS[arm]
         cost_soa._SOA_LOOKUP = cfg.get("lookup", base["lookup"])
@@ -80,6 +83,7 @@ def main():
         cost_soa._ABLATE = cfg.get("ablate", base["ablate"])
         pallas_selfcol._TM = cfg.get("tm", base["tm"])
         pallas_selfcol._TB = cfg.get("tb", base["tb"])
+        grid._LOOKUP4_STACK = cfg.get("stack", base["stack"])
         fn = jax.jit(lambda p: eng.iterate_batched_nojit(p, args.n_iter))
         try:
             out, _ = fn(probs)

@@ -422,6 +422,7 @@ class ChompEngine:
         """One CHOMP iteration over a (B,)-batched problem pytree.
         Returns (next_probs, costs (B, 3))."""
         from or_cdchomp_tpu.chomp import cost_soa
+        _ablate = cost_soa._ABLATE
 
         spec = self.spec
         m = spec.m
@@ -479,8 +480,9 @@ class ChompEngine:
         T_mov = T_mov - AG_new / lam[:, None, None]
 
         with jax.named_scope("limits"):
-            T_mov = self._limit_repair_batched(
-                T_mov, probs.jlimit_lower, probs.jlimit_upper)
+            if "limits" not in _ablate:   # measurement-only stub
+                T_mov = self._limit_repair_batched(
+                    T_mov, probs.jlimit_lower, probs.jlimit_upper)
 
         with jax.named_scope("smoothcost"):
             AT = self.apply_A_b(T_mov)

@@ -346,6 +346,13 @@ def _onehot2_lookup_qlanes_one(flat_def, qi, dtype):
     return jnp.sum(T * oh_hi, axis=0)                          # (Q,)
 
 
+# "stack" mode: one dot over the 4 concatenated index sets instead of
+# 4 separate dots.  Measured SLOWER (617 vs 686 us step on config 1 —
+# the concat/reshape relayouts cost more than the saved fusion
+# launches); kept off, A/B-able via CDX_LOOKUP4_STACK=1.
+_LOOKUP4_STACK = _os.environ.get("CDX_LOOKUP4_STACK", "0") == "1"
+
+
 def _lookup4_qlanes(flat, idx, nbr_idx3, dtype):
     """Four-value lookup: center + the *chosen* neighbor per axis.
 
@@ -366,6 +373,12 @@ def _lookup4_qlanes(flat, idx, nbr_idx3, dtype):
     if pad:
         flat = jnp.pad(flat, (0, pad),
                        constant_values=_BIG.astype(flat.dtype) / 2)
+    if _LOOKUP4_STACK:
+        qi4 = jnp.concatenate([idx, *nbr_idx3])
+        v4 = _onehot2_lookup_qlanes_one(flat, qi4, dtype)
+        q = idx.shape[0]
+        v4 = v4.reshape(4, q)
+        return v4[0], v4[1:]
     v0 = _onehot2_lookup_qlanes_one(flat, idx, dtype)
     vn = jnp.stack([_onehot2_lookup_qlanes_one(flat, nb, dtype)
                     for nb in nbr_idx3])
