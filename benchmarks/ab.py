@@ -66,6 +66,9 @@ def main():
         "abl_jtmap": {"ablate": {"jtmap"}},
         "abl_limits": {"ablate": {"limits"}},
         "stack0": {"stack": False},
+        "bf16": {"bf16": True},
+        "bf16_L128": {"bf16": True, "L": 128},
+        "bf16_L256": {"bf16": True, "L": 256},
     }
 
     base = dict(lookup=cost_soa._SOA_LOOKUP, selfcol=cost_soa._SELFCOL,
@@ -75,6 +78,7 @@ def main():
 
     base["tm"], base["tb"] = pallas_selfcol._TM, pallas_selfcol._TB
     base["stack"] = grid._LOOKUP4_STACK
+    base["bf16"] = grid._LOOKUP4_BF16
     for arm in args.arms.split(","):
         cfg = ARMS[arm]
         cost_soa._SOA_LOOKUP = cfg.get("lookup", base["lookup"])
@@ -84,6 +88,7 @@ def main():
         pallas_selfcol._TM = cfg.get("tm", base["tm"])
         pallas_selfcol._TB = cfg.get("tb", base["tb"])
         grid._LOOKUP4_STACK = cfg.get("stack", base["stack"])
+        grid._LOOKUP4_BF16 = cfg.get("bf16", base["bf16"])
         fn = jax.jit(lambda p: eng.iterate_batched_nojit(p, args.n_iter))
         try:
             out, _ = fn(probs)

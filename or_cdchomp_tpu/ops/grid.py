@@ -328,6 +328,15 @@ def _lookup_onehot2_qlanes(flat, idx, strides, dtype):
     return jnp.sum(T.reshape(7, H, -1) * oh_hi[None], axis=1)  # (7, Q)
 
 
+# bf16 hi/lo two-dot variant of the 4-gather lookup (A/B knob): each
+# selection is exact per part and f32-accumulated; the reconstruction
+# error of A_hi + A_lo is ~4e-6 relative (double-bf16).  Measured
+# 1375/3314/2485 solves/s at L=64/128/256 vs 4161 for the f32 single
+# dot — the split defeats XLA's internal gather rewrite (same failure
+# as the round-3 7-table variant).  Kept off.
+_LOOKUP4_BF16 = _os.environ.get("CDX_LOOKUP4_BF16", "0") == "1"
+
+
 def _onehot2_lookup_qlanes_one(flat_def, qi, dtype):
     """One gathered value per query via the two-sided one-hot form:
     (H, L) @ (L, Q) + hi-select.  ``flat_def`` must already be padded
@@ -337,13 +346,22 @@ def _onehot2_lookup_qlanes_one(flat_def, qi, dtype):
     A = flat_def.reshape(H, L)
     hi = qi // L
     lo = qi - hi * L
-    oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
-             ).astype(dtype)                                   # (L, Q)
-    T = jnp.dot(A.astype(dtype), oh_lo,
-                preferred_element_type=dtype)                  # (H, Q)
+    if _LOOKUP4_BF16 and dtype == jnp.float32:
+        A32 = A.astype(jnp.float32)
+        A_hi = A32.astype(jnp.bfloat16)
+        A_lo = (A32 - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
+                 ).astype(jnp.bfloat16)
+        T = (jnp.dot(A_hi, oh_lo, preferred_element_type=jnp.float32)
+             + jnp.dot(A_lo, oh_lo, preferred_element_type=jnp.float32))
+    else:
+        oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
+                 ).astype(dtype)                               # (L, Q)
+        T = jnp.dot(A.astype(dtype), oh_lo,
+                    preferred_element_type=dtype)              # (H, Q)
     oh_hi = (jnp.arange(H, dtype=jnp.int32)[:, None] == hi[None, :]
              ).astype(dtype)                                   # (H, Q)
-    return jnp.sum(T * oh_hi, axis=0)                          # (Q,)
+    return jnp.sum(T.astype(dtype) * oh_hi, axis=0)            # (Q,)
 
 
 # "stack" mode: one dot over the 4 concatenated index sets instead of

@@ -65,3 +65,58 @@ def test_f32_flagship_within_1e3_of_f64():
     c64 = costs64[:, -1, 0]
     c32 = costs32[:, -1, 0]
     assert np.max(np.abs(c32 - c64) / np.abs(c64)) <= 1e-3
+
+
+def _solve_floating_tsr(dtype, starts, goals, n_iter=60):
+    """Config-4 shape: floating base + everyn TSR through the batched
+    SoA step — exercises the f32 constraint projection (Cholesky /
+    quasiseparable scan) and base quaternion renorm."""
+    from or_cdchomp_tpu.tsr import TSR
+
+    mod = oc.CHOMPModule(dtype=dtype)
+    mod.add_kinbody(KinBody("table", oc.Scene.build(
+        boxes=[((0.75, 0.0, 0.35, 0, 0, 0, 1), (0.25, 0.4, 0.02))])))
+    r = Robot("wam", oc.wam7(), q_active=Q_START.copy())
+    mod.add_robot(r)
+    r.enabled = False
+    mod.computedistancefield(kinbody="table", cube_extent=0.06)
+    r.enabled = True
+    tsr = TSR.from_matrices(
+        np.eye(4), np.eye(4),
+        Bw=np.array([[-10, 10], [-10, 10], [-10, 10],
+                     [0, 0], [0, 0], [-np.pi, np.pi]]))
+    basegoal = np.array([0.1, 0.05, 0.0, 0.0, 0.0, 0.0, 1.0])
+    h = mod.create(robot="wam", adofgoal=Q_GOAL, basegoal=basegoal,
+                   floating_base=True, lambda_=250.0, obs_factor=150.0,
+                   n_points=31, everyn_tsr=tsr)
+    rn = mod.runs[h]
+    probs = problem_batch_from_grid(rn.problem, starts, goals, rn.engine)
+    out, costs = rn.engine.iterate_batch(probs, n_iter)
+    return (np.asarray(out.traj, dtype=np.float64),
+            np.asarray(costs, dtype=np.float64))
+
+
+def test_f32_floating_tsr_within_1e3_of_f64():
+    """The constrained floating-base path (config-4 shape) also holds
+    the 1e-3 bar in f32 — covering the projection solve and SE(3)
+    renorm, not just the unconstrained flagship."""
+    B = 16
+    rng = np.random.default_rng(1)
+    base0 = np.array([0, 0, 0, 0, 0, 0, 1.0])
+    starts = np.concatenate(
+        [np.tile(base0, (B, 1)),
+         np.tile(Q_START, (B, 1)) + 0.02 * rng.normal(size=(B, 7))],
+        axis=1)
+    goals = np.concatenate(
+        [np.tile(np.array([0.1, 0.05, 0.0, 0.0, 0.0, 0.0, 1.0]), (B, 1)),
+         np.tile(Q_GOAL, (B, 1)) + 0.02 * rng.normal(size=(B, 7))],
+        axis=1)
+
+    traj64, costs64 = _solve_floating_tsr(jnp.float64, starts, goals)
+    traj32, costs32 = _solve_floating_tsr(jnp.float32, starts, goals)
+
+    per_solve = np.abs(traj32 - traj64).reshape(B, -1).max(axis=1)
+    assert per_solve.max() <= 1e-3, per_solve.max()
+    c64 = costs64[:, -1, 0]
+    c32 = costs32[:, -1, 0]
+    assert np.max(np.abs(c32 - c64) / np.abs(c64)) <= 1e-3
