@@ -38,23 +38,24 @@ def build(mod_dtype, n_points):
     from or_cdchomp_tpu.api import KinBody, Robot
 
     mod = oc.CHOMPModule(dtype=mod_dtype)
-    # table + mug scene in front of the arm (test_wam7.py:23-33 analog)
+    # table + mug scene in front of the arm (test_wam7.py:23-33
+    # analog); endpoints verified feasible — the solved trajectories
+    # pass gettraj's strict collision re-check (benchmarks/configs.py)
     table = KinBody("table", oc.Scene.build(
-        boxes=[((0.0, 0.0, 0.7, 0, 0, 0, 1), (0.35, 0.75, 0.02)),
-               ((0.0, 0.0, 0.35, 0, 0, 0, 1), (0.1, 0.1, 0.35))]))
+        boxes=[((0.75, 0.0, 0.5, 0, 0, 0, 1), (0.25, 0.4, 0.02)),
+               ((0.75, 0.0, 0.25, 0, 0, 0, 1), (0.08, 0.08, 0.25))]))
     mug = KinBody("mug", oc.Scene.build(
-        cylinders=[((0.0, 0.0, 0.76, 0, 0, 0, 1), 0.04, 0.06)]))
+        cylinders=[((0.65, 0.15, 0.58, 0, 0, 0, 1), 0.04, 0.06)]))
     mod.add_kinbody(table)
     mod.add_kinbody(mug)
     robot = Robot("wam", oc.wam7(),
-                  pose=np.array([0.0, -1.0, 1.0, 0.0, 0.70711, 0.0, 0.70711]),
                   q_active=np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]))
     mod.add_robot(robot)
     robot.enabled = False
     mod.computedistancefield(kinbody="table", cube_extent=0.04,
                              cache_filename="/tmp/bench_sdf_table.npy")
     robot.enabled = True
-    goal = np.array([0.5, 1.5, 0.1, 0.3, 0.0, -0.3, 0.0])
+    goal = np.array([0.4, 0.6, 0.1, 1.3, 0.0, -0.5, 0.0])
     h = mod.create(robot="wam", adofgoal=goal, lambda_=100.0,
                    obs_factor=500.0, n_points=n_points)
     return mod, mod.runs[h], goal

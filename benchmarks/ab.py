@@ -20,8 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--arms", default="base,lookup7,L64,L128,selfcol_pallas,"
-                    "selfcol_pallas_L64")
+    ap.add_argument("--arms", default="base,L128,L256")
+    ap.add_argument("--config", type=int, default=1,
+                    help="benchmark config to A/B on (1, 2, or 4)")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--n-iter", type=int, default=100)
     ap.add_argument("--reps", type=int, default=3)
@@ -36,7 +37,9 @@ def main():
     from or_cdchomp_tpu.ops import grid
     from or_cdchomp_tpu.parallel.batch import problem_batch_from_grid
 
-    mod, run, goal = C.wam7_single_sdf(jnp.float32)
+    builder = {1: C.wam7_single_sdf, 2: C.cluttered_multi_sdf,
+               4: C.floating_everyn_tsr}[args.config]
+    mod, run, goal = builder(jnp.float32)
     eng = run.engine
     spec = eng.spec
     rng = np.random.default_rng(0)

@@ -21,6 +21,12 @@ from or_cdchomp_tpu.tsr import TSR
 
 START = np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0])
 GOAL = np.array([0.5, 1.5, 0.1, 0.3, 0.0, -0.3, 0.0])
+# config-1 goal: both endpoints verified clear of the scene and of
+# self-collision (min clearance ≥ +1.3 cm) and the 100-iteration solve
+# ends collision-free — the round-3 workload's fixed endpoints
+# penetrated the table by 2.5 cm, making every "solve" end in
+# unavoidable collision
+GOAL1 = np.array([0.4, 0.6, 0.1, 1.3, 0.0, -0.5, 0.0])
 
 
 def _wam(mod):
@@ -32,21 +38,25 @@ def _wam(mod):
 
 
 def wam7_single_sdf(dtype, n_points=101):
-    """Config 1 — table+mug scene, one SDF (test_wam7.py:23-33 analog)."""
+    """Config 1 — table+mug scene, one SDF (test_wam7.py:23-33 analog).
+
+    Endpoints are feasible by construction (see GOAL1) so the solved
+    trajectories pass gettraj's strict collision re-check."""
     mod = oc.CHOMPModule(dtype=dtype)
     mod.add_kinbody(KinBody("table", oc.Scene.build(
-        boxes=[((0.0, 0.0, 0.7, 0, 0, 0, 1), (0.35, 0.75, 0.02)),
-               ((0.0, 0.0, 0.35, 0, 0, 0, 1), (0.1, 0.1, 0.35))])))
+        boxes=[((0.75, 0.0, 0.5, 0, 0, 0, 1), (0.25, 0.4, 0.02)),
+               ((0.75, 0.0, 0.25, 0, 0, 0, 1), (0.08, 0.08, 0.25))])))
     mod.add_kinbody(KinBody("mug", oc.Scene.build(
-        cylinders=[((0.0, 0.0, 0.76, 0, 0, 0, 1), 0.04, 0.06)])))
-    robot = _wam(mod)
+        cylinders=[((0.65, 0.15, 0.58, 0, 0, 0, 1), 0.04, 0.06)])))
+    robot = Robot("wam", oc.wam7(), q_active=START.copy())
+    mod.add_robot(robot)
     robot.enabled = False
     mod.computedistancefield(kinbody="table", cube_extent=0.04,
                              cache_filename="/tmp/bench_sdf_table.npy")
     robot.enabled = True
-    h = mod.create(robot="wam", adofgoal=GOAL, lambda_=100.0,
+    h = mod.create(robot="wam", adofgoal=GOAL1, lambda_=100.0,
                    obs_factor=500.0, n_points=n_points)
-    return mod, mod.runs[h], GOAL
+    return mod, mod.runs[h], GOAL1
 
 
 def cluttered_multi_sdf(dtype, n_points=101):

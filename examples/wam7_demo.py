@@ -33,16 +33,16 @@ def main():
 
     print(f"devices: {jax.devices()}")
 
-    # --- world (test_wam7.py:23-38) ---
+    # --- world (test_wam7.py:23-38; feasible endpoints — see
+    # benchmarks/configs.py GOAL1) ---
     mod = oc.CHOMPModule()
     mod.add_kinbody(KinBody("table", oc.Scene.build(
-        boxes=[((0.0, 0.0, 0.7, 0, 0, 0, 1), (0.35, 0.75, 0.02)),
-               ((0.0, 0.0, 0.35, 0, 0, 0, 1), (0.1, 0.1, 0.35))])))
+        boxes=[((0.75, 0.0, 0.5, 0, 0, 0, 1), (0.25, 0.4, 0.02)),
+               ((0.75, 0.0, 0.25, 0, 0, 0, 1), (0.08, 0.08, 0.25))])))
     mod.add_kinbody(KinBody("mug", oc.Scene.build(
-        cylinders=[((0.0, 0.0, 0.76, 0, 0, 0, 1), 0.04, 0.06)])))
+        cylinders=[((0.65, 0.15, 0.58, 0, 0, 0, 1), 0.04, 0.06)])))
     robot = Robot(
         "wam", oc.wam7(),
-        pose=np.array([0.0, -1.0, 1.0, 0.0, 0.70711, 0.0, 0.70711]),
         q_active=np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]))
     mod.add_robot(robot)
 
@@ -55,7 +55,7 @@ def main():
     print(f"computedistancefield: {time.time() - t0:.2f}s")
 
     # --- single solve (test_wam7.py:82-84) ---
-    goal = np.array([0.5, 1.5, 0.1, 0.3, 0.0, -0.3, 0.0])
+    goal = np.array([0.4, 0.6, 0.1, 1.3, 0.0, -0.5, 0.0])
     t0 = time.time()
     traj = mod.runchomp(robot="wam", adofgoal=goal, n_iter=args.n_iter,
                         lambda_=100.0, obs_factor=500.0,
