@@ -187,8 +187,25 @@ class BatchSolver:
             p2 = jax.tree.map(lambda a, b: jnp.where(take, a, b), p2, p)
             return p2, costs
 
-        return jax.lax.scan(body, probs,
-                            jnp.arange(chunk_size, dtype=jnp.int32))
+        def run(p):
+            return jax.lax.scan(body, p,
+                                jnp.arange(chunk_size, dtype=jnp.int32))
+
+        # same problem-axis chunking as iterate(): very large batches
+        # degrade XLA's fusion scheduling inside the scan
+        P_ = int(jax.tree.leaves(probs)[0].shape[0])
+        ch = self.chunk
+        if (ch and P_ > ch and P_ % ch == 0
+                and int(np.prod(self.mesh.devices.shape)) == 1):
+            folded = jax.tree.map(
+                lambda x: x.reshape((P_ // ch, ch) + x.shape[1:]), probs)
+            probs, costs = jax.lax.map(run, folded)
+            probs = jax.tree.map(
+                lambda x: x.reshape((P_,) + x.shape[2:]), probs)
+            costs = jnp.moveaxis(costs, 0, 1).reshape(
+                (chunk_size, P_, 3))
+            return probs, costs
+        return run(probs)
 
     @functools.partial(jax.jit, static_argnums=(0, 3))
     def iterate_masked(self, probs: ChompProblem, valid, chunk_size: int):
