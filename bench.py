@@ -28,7 +28,16 @@ import numpy as np
 N_ITER = 100
 N_POINTS = 101
 BATCH = 256
-REF_SOLVES_PER_S = 0.5  # see module docstring
+REF_SOLVES_PER_S = 0.5  # documented ESTIMATE, not a measurement — see
+# module docstring; OpenRAVE is unavailable here so the reference was
+# never run.  vs_baseline therefore carries estimate uncertainty.
+REPS = 5            # timed reps per attempt (median is the headline)
+SPREAD_TOL = 0.15   # (max-min)/median above this triggers one retry
+# Plausibility floor: this exact workload measured 2803 (r3) / 4372
+# (r4, judge re-run) solves/s on an uncontended chip.  A median far
+# below that means the *capture* failed (contended/cold chip), not the
+# code; flag it loudly in the JSON instead of recording it silently.
+FLOOR_SOLVES_PER_S = 2500.0
 
 
 def build(mod_dtype, n_points):
@@ -82,25 +91,62 @@ def main():
     solver = BatchSolver(engine)
     probs_dev = solver.shard(probs)
 
-    # warmup/compile
-    out, costs = solver.iterate(probs_dev, N_ITER)
-    jax.block_until_ready(out)
-
-    reps = 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    # warmup/compile (twice: first pays compile, second pays any lazy
+    # device-claim / autotuning cost so timed reps see steady state)
+    for _ in range(2):
         out, costs = solver.iterate(probs_dev, N_ITER)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    tpu_solves_per_s = BATCH / dt
+        jax.block_until_ready(out)
 
-    print(json.dumps({
+    def timed_reps(n):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out, _ = solver.iterate(probs_dev, N_ITER)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return ts
+
+    # Measurement discipline (round-4 lesson: the official capture once
+    # recorded 794 on a 4372 solves/s HEAD — contended/cold chip, 2-rep
+    # mean, nothing flagged it): >=5 per-rep walls, median as the
+    # headline, spread check with one retry, and a loud note when the
+    # result is implausible vs the recorded floor.
+    times = timed_reps(REPS)
+    spread = (max(times) - min(times)) / np.median(times)
+    retried = False
+    if spread > SPREAD_TOL:
+        retried = True
+        times = timed_reps(REPS)
+        spread = (max(times) - min(times)) / np.median(times)
+
+    med = float(np.median(times))
+    tpu_solves_per_s = BATCH / med
+    best_solves_per_s = BATCH / min(times)
+
+    note = ""
+    if tpu_solves_per_s < FLOOR_SOLVES_PER_S:
+        note = (f"IMPLAUSIBLE: median {tpu_solves_per_s:.0f} solves/s is "
+                f"below the recorded floor {FLOOR_SOLVES_PER_S:.0f} "
+                "(BENCHMARKS.md headline history); the chip was likely "
+                "contended or cold — re-run single-client.")
+    elif spread > SPREAD_TOL:
+        note = (f"NOISY: rep spread {spread:.1%} > {SPREAD_TOL:.0%} "
+                "after one retry; treat the median with caution.")
+
+    rec = {
         "metric": "wam7_chomp_solves_per_s_per_chip"
                   f" (n_points={N_POINTS}, {N_ITER} iters, batch={BATCH})",
         "value": round(tpu_solves_per_s, 3),
         "unit": "solves/s",
         "vs_baseline": round(tpu_solves_per_s / REF_SOLVES_PER_S, 3),
-    }))
+        "best": round(best_solves_per_s, 3),
+        "rep_times_s": [round(t, 6) for t in times],
+        "spread": round(float(spread), 4),
+        "retried": retried,
+    }
+    if note:
+        rec["note"] = note
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
