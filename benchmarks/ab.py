@@ -60,11 +60,21 @@ def main():
         "L128": {"L": 128},
         "L256": {"L": 256},
         "selfcol_pallas": {"selfcol": "pallas"},
+        "selfcol_pairs": {"selfcol": "pairs"},
+        "selfcol_pairs_oh": {"selfcol": "pairs_oh"},
+        "selfcol_sym": {"selfcol": "sym"},
+        "selfcol_symv": {"selfcol": "symv"},
+        "spd_8_128": {"selfcol": "pallas_dense", "tm": 8, "tb": 128},
+        "spd_8_256": {"selfcol": "pallas_dense", "tm": 8, "tb": 256},
+        "spd_16_128": {"selfcol": "pallas_dense", "tm": 16, "tb": 128},
+        "spd_16_256": {"selfcol": "pallas_dense", "tm": 16, "tb": 256},
+        "spd_4_128": {"selfcol": "pallas_dense", "tm": 4, "tb": 128},
         "sp_8_128": {"selfcol": "pallas", "tm": 8, "tb": 128},
         "sp_8_256": {"selfcol": "pallas", "tm": 8, "tb": 256},
         "sp_16_256": {"selfcol": "pallas", "tm": 16, "tb": 256},
         "sp_32_256": {"selfcol": "pallas", "tm": 32, "tb": 256},
         "abl_selfcol": {"ablate": {"selfcol"}},
+        "abl_obstacle": {"ablate": {"obstacle"}},
         "abl_lookup": {"ablate": {"lookup"}},
         "abl_jtmap": {"ablate": {"jtmap"}},
         "abl_limits": {"ablate": {"limits"}},
@@ -82,39 +92,47 @@ def main():
     base["tm"], base["tb"] = pallas_selfcol._TM, pallas_selfcol._TB
     base["stack"] = grid._LOOKUP4_STACK
     base["bf16"] = grid._LOOKUP4_BF16
-    for arm in args.arms.split(","):
-        cfg = ARMS[arm]
-        cost_soa._SOA_LOOKUP = cfg.get("lookup", base["lookup"])
-        cost_soa._SELFCOL = cfg.get("selfcol", base["selfcol"])
-        grid._ONEHOT2_L4 = cfg.get("L", base["L"])
-        cost_soa._ABLATE = cfg.get("ablate", base["ablate"])
-        pallas_selfcol._TM = cfg.get("tm", base["tm"])
-        pallas_selfcol._TB = cfg.get("tb", base["tb"])
-        grid._LOOKUP4_STACK = cfg.get("stack", base["stack"])
-        grid._LOOKUP4_BF16 = cfg.get("bf16", base["bf16"])
-        fn = jax.jit(lambda p: eng.iterate_batched_nojit(p, args.n_iter))
-        try:
-            out, _ = fn(probs)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
-                out, costs = fn(probs)
-            jax.block_until_ready(out)
-            dt = (time.perf_counter() - t0) / args.reps
-            print(json.dumps({
-                "arm": arm,
-                "solves_per_s": round(args.batch / dt, 2),
-                "step_us": round(dt / args.n_iter * 1e6, 1),
-                "final_cost_mean": round(
-                    float(jnp.mean(costs[:, -1, 0])), 4),
-            }), flush=True)
-        except Exception as exc:  # report and continue the sweep
-            print(json.dumps({"arm": arm, "error": repr(exc)[:300]}),
-                  flush=True)
-    cost_soa._SOA_LOOKUP = base["lookup"]
-    cost_soa._SELFCOL = base["selfcol"]
-    grid._ONEHOT2_L4 = base["L"]
-    cost_soa._ABLATE = base["ablate"]
+    try:
+        for arm in args.arms.split(","):
+            cfg = ARMS[arm]
+            cost_soa._SOA_LOOKUP = cfg.get("lookup", base["lookup"])
+            cost_soa._SELFCOL = cfg.get("selfcol", base["selfcol"])
+            grid._ONEHOT2_L4 = cfg.get("L", base["L"])
+            cost_soa._ABLATE = cfg.get("ablate", base["ablate"])
+            pallas_selfcol._TM = cfg.get("tm", base["tm"])
+            pallas_selfcol._TB = cfg.get("tb", base["tb"])
+            grid._LOOKUP4_STACK = cfg.get("stack", base["stack"])
+            grid._LOOKUP4_BF16 = cfg.get("bf16", base["bf16"])
+            fn = jax.jit(lambda p: eng.iterate_batched_nojit(p, args.n_iter))
+            try:
+                out, _ = fn(probs)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for _ in range(args.reps):
+                    out, costs = fn(probs)
+                jax.block_until_ready(out)
+                dt = (time.perf_counter() - t0) / args.reps
+                print(json.dumps({
+                    "arm": arm,
+                    "solves_per_s": round(args.batch / dt, 2),
+                    "step_us": round(dt / args.n_iter * 1e6, 1),
+                    "final_cost_mean": round(
+                        float(jnp.mean(costs[:, -1, 0])), 4),
+                }), flush=True)
+            except Exception as exc:  # report and continue the sweep
+                print(json.dumps({"arm": arm, "error": repr(exc)[:300]}),
+                      flush=True)
+    finally:
+        # restore every patched knob so programmatic callers see a
+        # consistent module state even if the sweep raises
+        cost_soa._SOA_LOOKUP = base["lookup"]
+        cost_soa._SELFCOL = base["selfcol"]
+        grid._ONEHOT2_L4 = base["L"]
+        cost_soa._ABLATE = base["ablate"]
+        pallas_selfcol._TM = base["tm"]
+        pallas_selfcol._TB = base["tb"]
+        grid._LOOKUP4_STACK = base["stack"]
+        grid._LOOKUP4_BF16 = base["bf16"]
 
 
 if __name__ == "__main__":

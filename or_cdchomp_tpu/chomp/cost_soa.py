@@ -193,6 +193,293 @@ def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
     return c_obs, soa.scale(x_grad, vnorm), vnorm, v2, safe
 
 
+def _selfcol_pairs_static(same_link, radii_act, radii_all, Sa, SI):
+    """Static (trace-time) compacted pair tables for _selfcol_soa_pairs.
+
+    Returns (pi, pj, two_sided, rsum, M) numpy arrays: pi/pj (P,) pair
+    sphere indices (pj indexes the concatenated active+inactive list),
+    two_sided (P,) marks active-active pairs (both ordered twins live
+    in one slot), rsum (P,) radius sums, M (P, Sa) the ±1 scatter
+    matrix (+1 at pi, −1 at pj for two-sided pairs).
+    """
+    import numpy as np
+
+    same_np = np.asarray(same_link)
+    ra = np.asarray(radii_act, dtype=np.float64)
+    rall = np.asarray(radii_all, dtype=np.float64)
+    ii, jj = np.nonzero(~same_np[:, :Sa])
+    keep = ii < jj
+    pi, pj = ii[keep], jj[keep]
+    two_sided = np.ones(pi.shape[0], dtype=bool)
+    if SI:
+        i2, j2 = np.nonzero(~same_np[:, Sa:])
+        pi = np.concatenate([pi, i2])
+        pj = np.concatenate([pj, Sa + j2])
+        two_sided = np.concatenate([two_sided,
+                                    np.zeros(i2.shape[0], dtype=bool)])
+    rsum = ra[pi] + rall[pj]
+    P = pi.shape[0]
+    M = np.zeros((P, Sa), dtype=np.float32)
+    M[np.arange(P), pi] = 1.0
+    aa = np.nonzero(two_sided)[0]
+    M[aa, pj[aa]] = -1.0
+    return pi, pj, two_sided, rsum, M
+
+
+def _selfcol_soa_pairs(spec: ChompSpec, same_link, radii_act, radii_all,
+                       probs: ChompProblem, x_i, vel, vnorm, v2, safe,
+                       onehot=False):
+    """Compacted static-pair-list self-collision (same ordered-pair
+    semantics as the dense form / orcdchomp_mod.cpp:1249-1317).
+
+    The dense form computes all Sa·So slots; only ~P non-same-link
+    pairs carry cost, and the ordered twins (i,j)/(j,i) share all the
+    geometry (distance, hinge, slope) and differ only in the velocity-
+    side scalars.  This form gathers each unordered pair once (static
+    indices), computes the shared geometry once, forms the *combined*
+    directed gradient h = g'_ij − g'_ji (the reference maps +g' through
+    J_i and −g' through J_j, orcdchomp_mod.cpp:1310-1316, so per
+    unordered pair sphere i nets +h and sphere j nets −h), and scatters
+    with one ±1 constant matmul per component (TPU scatters serialize;
+    a (P, Sa) matmul is MXU work).  Active→inactive pairs ride the same
+    pair axis one-sided (w_j masked to 0, no −h scatter).
+    """
+    m, Sa, B = x_i[0].shape
+    SI = probs.inactive_pos.shape[1]
+    dtype = x_i[0].dtype
+    pi, pj, two_sided, rsum_np, M_np = _selfcol_pairs_static(
+        same_link, radii_act, radii_all, Sa, SI)
+    P = pi.shape[0]
+    if P == 0:
+        return (jnp.zeros((B,), dtype),
+                tuple(jnp.zeros_like(c) for c in x_i))
+
+    import numpy as np
+
+    rsum = jnp.asarray(rsum_np, dtype=dtype)[None, :, None]  # (1, P, 1)
+    pi_j = jnp.asarray(pi)
+    # pj for active-side gathers: one-sided slots clipped to 0 and
+    # masked out below, so the gather index stays in [0, Sa)
+    pj_act = jnp.asarray(np.where(two_sided, pj, 0))
+    ts = jnp.asarray(two_sided)[None, :, None]            # (1, P, 1)
+    M = jnp.asarray(M_np, dtype=dtype)                    # (P, Sa)
+
+    if SI:
+        inact = probs.inactive_pos                        # (B, SI, 3)
+        io = tuple(jnp.broadcast_to(
+            jnp.transpose(inact[:, :, ci])[None], (m, SI, B))
+            for ci in range(3))
+        x_o = tuple(jnp.concatenate([a, b], axis=1)
+                    for a, b in zip(x_i, io))
+        pj_j = jnp.asarray(pj)
+    else:
+        x_o = x_i
+        pj_j = jnp.asarray(pj)
+
+    inv_v2 = jnp.where(safe, 1.0 / jnp.where(safe, v2, 1.0), 0.0)
+    if onehot:
+        # gather-by-matmul: TPU gathers over the sphere axis serialize;
+        # a (Sa, P) one-hot contraction is MXU work.  Gj_act is zeroed
+        # for one-sided (active→inactive) pairs, so every j-side
+        # quantity is already masked without a separate select.
+        So = x_o[0].shape[1]
+        Gi = np.zeros((Sa, P), dtype=np.float32)
+        Gi[pi, np.arange(P)] = 1.0
+        Gja = np.zeros((Sa, P), dtype=np.float32)
+        aa = np.nonzero(two_sided)[0]
+        Gja[pj[aa], aa] = 1.0
+        Gjo = np.zeros((So, P), dtype=np.float32)
+        Gjo[pj, np.arange(P)] = 1.0
+        Gi = jnp.asarray(Gi, dtype=dtype)
+        Gja = jnp.asarray(Gja, dtype=dtype)
+        Gjo = jnp.asarray(Gjo, dtype=dtype)
+        gat = lambda arr, G: jnp.einsum("msb,sp->mpb", arr, G)
+        Ai = jnp.stack(tuple(x_i) + tuple(vel) + (vnorm, inv_v2))
+        Ai = jnp.einsum("cmsb,sp->cmpb", Ai, Gi)          # (8, m, P, B)
+        xi_p = tuple(Ai[c] for c in range(3))
+        vel_i = tuple(Ai[3 + c] for c in range(3))
+        vn_i, iv_i = Ai[6], Ai[7]
+        Aj = jnp.stack(tuple(vel) + (vnorm, inv_v2))
+        Aj = jnp.einsum("cmsb,sp->cmpb", Aj, Gja)         # (5, m, P, B)
+        vel_j = tuple(Aj[c] for c in range(3))
+        vn_j_raw, iv_j = Aj[3], Aj[4]
+        xj_p = tuple(gat(c, Gjo) for c in x_o)
+        take = None
+    else:
+        take = lambda arr, idx: jnp.take(arr, idx, axis=1)  # (m, P, B)
+        xi_p = tuple(take(c, pi_j) for c in x_i)
+        xj_p = tuple(take(c, pj_j) for c in x_o)
+    diff = tuple(a - b for a, b in zip(xi_p, xj_p))
+    d2 = diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2]
+    inv_cd = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))        # guarded 1/dist
+    cdist = d2 * inv_cd                                   # √d2 (0 at 0)
+
+    eps_s = probs.epsilon_self                            # (B,)
+    inv_eps = 1.0 / eps_s                                 # hoisted: no
+    # divide ever runs on the (m, P, B) pair tensors
+    pair_on = cdist <= rsum + eps_s
+    d = cdist - rsum
+    c = jnp.where(d < 0.0, 0.5 * eps_s - d,
+                  (0.5 * inv_eps) * (d - eps_s) ** 2)
+    slope = jnp.where(d < 0.0, -1.0, d * inv_eps - 1.0)
+    c_on = jnp.where(pair_on, c, 0.0)
+
+    of = probs.obs_factor_self                            # (B,)
+    if onehot:
+        vn_j_eff = vn_j_raw                   # already 0 for one-sided
+    else:
+        vn_i = take(vnorm, pi_j)
+        iv_i = take(inv_v2, pi_j)
+        vn_j_eff = jnp.where(ts, take(vnorm, pj_act), 0.0)
+        iv_j = take(inv_v2, pj_act)
+        vel_i = tuple(take(c_, pi_j) for c_ in vel)
+        vel_j = tuple(take(c_, pj_act) for c_ in vel)
+    cost_p = (of * c_on) * (vn_i + vn_j_eff)
+    c_self = jnp.sum(cost_p, axis=(0, 1))                 # (B,)
+
+    w_geom = jnp.where(pair_on, slope * of * inv_cd, 0.0)
+    w1_i = w_geom * vn_i
+    w1_j = w_geom * vn_j_eff                  # 0 for one-sided pairs
+
+    dv_i = (diff[0] * vel_i[0] + diff[1] * vel_i[1]
+            + diff[2] * vel_i[2])
+    dv_j = (diff[0] * vel_j[0] + diff[1] * vel_j[1]
+            + diff[2] * vel_j[2])
+    w2_i = w1_i * dv_i * iv_i
+    w2_j = w1_j * dv_j * iv_j
+
+    # h = g'_ij − g'_ji = (w1_i + w1_j)·diff − w2_i·v_i − w2_j·v_j
+    w1s = w1_i + w1_j
+    H = jnp.stack(tuple(
+        w1s * diff[ci] - w2_i * vel_i[ci] - w2_j * vel_j[ci]
+        for ci in range(3)))                              # (3, m, P, B)
+    net3 = jnp.einsum("cmpb,ps->cmsb", H, M)
+    return c_self, (net3[0], net3[1], net3[2])
+
+
+def _selfcol_soa_sym(spec: ChompSpec, same_link, radii_act, radii_all,
+                     probs: ChompProblem, x_i, vel, vnorm, v2, safe,
+                     variadic=False):
+    """Single-pass symmetric-weight self-collision (same math as the
+    dense form / orcdchomp_mod.cpp:1249-1317).
+
+    The dense form's wall is NOT HBM traffic — XLA already fuses the
+    (m, Sa, So, B) pair tensors away — it is *recompute*: the net
+    gradient needs reductions over BOTH pair axes (Σ_j outgoing,
+    Σ_i incoming), XLA emits a separate reduce fusion per axis/operand
+    group, and every fusion re-derives the ~30-op pair pipeline from
+    scratch (measured: selfcol wall ≈ 234 µs of a 517 µs step, r5).
+
+    Key identity: the geometric pair weight
+        W_ij = [pair_ok]·slope(d_ij)·obs_self / ‖x_i−x_j‖
+    is SYMMETRIC on the active-active block (distance, radii and hinge
+    all are; only the velocity-side factors vn_i/iv_i/v_i break the
+    symmetry of the full w1/w2).  Every incoming sum over i can
+    therefore be re-indexed as a sum over j of W_sj times a per-j
+    channel:  Σ_i W_is·f(i) = Σ_j W_sj·f(j).  With all 18 reductions
+    over the SAME axis and sharing one producer graph, XLA's sibling
+    multi-output fusion computes W (and the cost hinge) once per pair
+    slot and accumulates every channel in registers — one pass over
+    the pair space instead of ~4.
+    """
+    m, Sa, B = x_i[0].shape
+    SI = probs.inactive_pos.shape[1]
+    dtype = x_i[0].dtype
+
+    if SI:
+        inact = probs.inactive_pos                       # (B, SI, 3)
+        io = tuple(jnp.broadcast_to(
+            jnp.transpose(inact[:, :, ci])[None], (m, SI, B))
+            for ci in range(3))
+        x_o = tuple(jnp.concatenate([a, b], axis=1)
+                    for a, b in zip(x_i, io))
+        pad_j = lambda a: jnp.concatenate(
+            [a, jnp.zeros((m, SI, B), dtype)], axis=1)   # act-only chans
+    else:
+        x_o = x_i
+        pad_j = lambda a: a
+
+    eps_s = probs.epsilon_self                           # (B,)
+    inv_eps = 1.0 / eps_s                                # hoisted
+    of = probs.obs_factor_self                           # (B,)
+
+    # per-sphere scalars (cheap, (m, S, B))
+    xi2 = soa.norm2(x_i)
+    xo2 = soa.norm2(x_o)
+    xv = soa.dot(x_i, vel)                               # x_i·v_i
+    inv_v2 = jnp.where(safe, 1.0 / jnp.where(safe, v2, 1.0), 0.0)
+
+    # pair weight + cost hinge, computed once inside the fused reduces.
+    # Layout (m, So, Sa, B) — the reduced axis (j over So) is THIRD-
+    # minor, so every channel sum is a cheap loop accumulation over
+    # full (Sa, B) vector tiles instead of a cross-sublane reduction.
+    xio = sum(b[:, :, None, :] * a[:, None, :, :]
+              for a, b in zip(x_i, x_o))                 # (m, So, Sa, B)
+    d2 = jnp.maximum(
+        xo2[:, :, None, :] + xi2[:, None, :, :] - 2.0 * xio, 0.0)
+    inv_cd = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+    cdist = d2 * inv_cd
+    rsum = (radii_all[:, None] + radii_act[None, :])[:, :, None]  # (So,Sa,1)
+    same_t = jnp.transpose(same_link)                    # (So, Sa)
+    pair_ok = (~same_t[:, :, None]) & (cdist <= rsum + eps_s)
+    d = cdist - rsum
+    slope = jnp.where(d < 0.0, -1.0, d * inv_eps - 1.0)
+    W = jnp.where(pair_ok, slope * of * inv_cd, 0.0)     # symmetric (aa)
+    c_hinge = jnp.where(d < 0.0, 0.5 * eps_s - d,
+                        (0.5 * inv_eps) * (d - eps_s) ** 2)
+    c_on = jnp.where(pair_ok, c_hinge, 0.0)
+
+    # per-j channels (m, So, B); incoming (A*) channels are zero for
+    # inactive j, which restricts those sums to the active block
+    vn_a = pad_j(vnorm)
+    qa = pad_j(vnorm * inv_v2)                           # vn_j·iv_j
+    chans = [None,                                       # R0: Σ W
+             x_o[0], x_o[1], x_o[2],                     # R1
+             vn_a,                                       # A0
+             vn_a * x_o[0], vn_a * x_o[1], vn_a * x_o[2],  # A1
+             qa * pad_j(xv * vel[0]), qa * pad_j(xv * vel[1]),
+             qa * pad_j(xv * vel[2]),                    # A2
+             qa * pad_j(vel[0] * vel[0]), qa * pad_j(vel[0] * vel[1]),
+             qa * pad_j(vel[0] * vel[2]), qa * pad_j(vel[1] * vel[1]),
+             qa * pad_j(vel[1] * vel[2]),
+             qa * pad_j(vel[2] * vel[2])]                # A3 (sym 6)
+    if variadic:
+        # one HLO reduce with 18 operands: the shared producer graph
+        # (W, c_on) fuses in and is computed ONCE per pair slot, with
+        # all accumulators live simultaneously — immune to whether the
+        # sibling multi-output fusion pass groups independent reduces
+        ops = [W] + [W * ch[:, :, None, :] for ch in chans[1:]] + [c_on]
+        zero = jnp.zeros((), dtype)
+        out = jax.lax.reduce(
+            tuple(ops), tuple(zero for _ in ops),
+            lambda accs, vals: tuple(a + v for a, v in zip(accs, vals)),
+            (1,))
+        red, RC = list(out[:-1]), out[-1]
+    else:
+        red = [jnp.sum(W, axis=1)]
+        red += [jnp.sum(W * ch[:, :, None, :], axis=1)
+                for ch in chans[1:]]
+        RC = jnp.sum(c_on, axis=1)                       # cost channel
+    (R0, R1x, R1y, R1z, A0, A1x, A1y, A1z, A2x, A2y, A2z,
+     Axx, Axy, Axz, Ayy, Ayz, Azz) = red
+
+    c_self = jnp.sum(of * vnorm * RC, axis=(0, 1))       # (B,)
+
+    R1 = (R1x, R1y, R1z)
+    R1v = R1x * vel[0] + R1y * vel[1] + R1z * vel[2]
+    w2s = vnorm * inv_v2 * (xv * R0 - R1v)               # Σ_j w2_sj
+    A3 = ((Axx, Axy, Axz), (Axy, Ayy, Ayz), (Axz, Ayz, Azz))
+    net = tuple(
+        vnorm * (x_i[ci] * R0 - R1[ci]) - w2s * vel[ci]
+        - (A1x if ci == 0 else A1y if ci == 1 else A1z)
+        + x_i[ci] * A0
+        + (A2x if ci == 0 else A2y if ci == 1 else A2z)
+        - (x_i[0] * A3[0][ci] + x_i[1] * A3[1][ci]
+           + x_i[2] * A3[2][ci])
+        for ci in range(3))
+    return c_self, net
+
+
 def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
                  probs: ChompProblem, x_i, vel, vnorm, v2, safe,
                  method=None):
@@ -202,6 +489,14 @@ def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
     x_i, vel: vec3 of (m, Sa, B).  Returns (c_self (B,), net vec3).
     """
     method = _SELFCOL if method is None else method
+    if method in ("sym", "symv"):
+        return _selfcol_soa_sym(spec, same_link, radii_act, radii_all,
+                                probs, x_i, vel, vnorm, v2, safe,
+                                variadic=(method == "symv"))
+    if method in ("pairs", "pairs_oh"):
+        return _selfcol_soa_pairs(spec, same_link, radii_act, radii_all,
+                                  probs, x_i, vel, vnorm, v2, safe,
+                                  onehot=(method == "pairs_oh"))
     if method.startswith("pallas"):
         import numpy as np
 
@@ -218,7 +513,8 @@ def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
         net, cost = selfcol_pairs(
             jnp.stack(x_i), jnp.stack(vel), xo, ~same_np, rsum_np,
             probs.epsilon_self, probs.obs_factor_self,
-            interpret=(method == "pallas_interpret"))
+            interpret=method.endswith("interpret"),
+            dense=("dense" in method))
         c_self = jnp.sum(cost, axis=(0, 1))                   # (B,)
         return c_self, (net[0], net[1], net[2])
     m, Sa, B = x_i[0].shape

@@ -61,9 +61,17 @@ _TM = int(_os.environ.get("CDX_SELFCOL_TM", "16"))   # m-rows / program
 _TB = int(_os.environ.get("CDX_SELFCOL_TB", "256"))  # problems / program
 
 
-def _make_kernel(Sa, SI, TM, TB, allow, rsum):
+def _make_kernel(Sa, SI, TM, TB, allow, rsum, dense=False):
     """allow: (Sa, So) np bool; rsum: (Sa, So) np float — engine
-    constants, folded at trace time."""
+    constants, folded at trace time.
+
+    dense=True: branchless variant — no bounding test, no ``@pl.when``
+    (whose ~95-cycle scalar overhead lost to the dense XLA path, round
+    4); every allowed pair runs unconditionally with the same rsqrt
+    strength reduction as cost_soa, in ONE pass with all accumulators
+    in VMEM — the single-traversal structure XLA's fusion grouping
+    refuses to emit (it re-derives the pair math per reduce group,
+    measured round 5)."""
     So = Sa + SI
 
     def kernel(xi_ref, vel_ref, xo_ref, eps_ref, ofs_ref,
@@ -81,6 +89,8 @@ def _make_kernel(Sa, SI, TM, TB, allow, rsum):
         xi = xi_ref[...]
         vel = vel_ref[...]
         eps = eps_ref[0, :]                     # (TB,)
+        inv_eps = 1.0 / eps                     # hoisted: no divides in
+        # the pair loop (multi-cycle VPU ops × ~200 pairs)
         ofs = ofs_ref[0, :]
         em = em_ref[0, 0, 0]
 
@@ -106,16 +116,9 @@ def _make_kernel(Sa, SI, TM, TB, allow, rsum):
                 if not allow[si, sj]:
                     continue                     # same-link: trace-time
                 rs = float(rsum[si, sj])
-                # scalar bounding test: tile bound centers/radii
-                dc2 = ((bc_ref[0, 0, 0, si] - bc_ref[0, 0, 0, sj]) ** 2
-                       + (bc_ref[0, 0, 1, si] - bc_ref[0, 0, 1, sj]) ** 2
-                       + (bc_ref[0, 0, 2, si] - bc_ref[0, 0, 2, sj]) ** 2)
-                reach = (br_ref[0, 0, 0, si] + br_ref[0, 0, 0, sj]
-                         + rs + em)
 
-                @pl.when(dc2 <= reach * reach)
-                def _(si=si, sj=sj, rs=rs, x_s=x_s, v_s=v_s,
-                      ofv_s=ofv_s, safe_s=safe_s, iv2_s=iv2_s):
+                def body(si=si, sj=sj, rs=rs, x_s=x_s, v_s=v_s,
+                         ofv_s=ofv_s, safe_s=safe_s, iv2_s=iv2_s):
                     if sj < Sa:
                         x_o = tuple(xi[c, :, sj, :] for c in range(3))
                     else:
@@ -125,18 +128,19 @@ def _make_kernel(Sa, SI, TM, TB, allow, rsum):
                     diff = tuple(x_s[c] - x_o[c] for c in range(3))
                     d2 = (diff[0] * diff[0] + diff[1] * diff[1]
                           + diff[2] * diff[2])           # (TM, TB)
-                    reach_v = rs + eps[None, :]
-                    ok = d2 <= reach_v * reach_v
-                    cd = jnp.sqrt(d2)
+                    # guarded rsqrt = both 1/dist and dist, no divide/
+                    # sqrt (same strength reduction as cost_soa)
+                    inv_cd = jax.lax.rsqrt(jnp.maximum(d2, 1e-24))
+                    cd = d2 * inv_cd
                     d = cd - rs
+                    ok = d <= eps[None, :]
+                    de = d - eps[None, :]
                     c_h = jnp.where(d < 0.0, 0.5 * eps[None, :] - d,
-                                    (0.5 / eps[None, :])
-                                    * (d - eps[None, :]) ** 2)
+                                    0.5 * de * de * inv_eps[None, :])
                     cost_pair = jnp.where(ok, c_h, 0.0) * ofv_s
                     slope = jnp.where(d < 0.0, -1.0,
-                                      d / eps[None, :] - 1.0)
-                    w1 = jnp.where(ok, slope * ofv_s
-                                   / jnp.maximum(cd, 1e-12), 0.0)
+                                      d * inv_eps[None, :] - 1.0)
+                    w1 = jnp.where(ok, slope * ofv_s * inv_cd, 0.0)
                     b = (v_s[0] * diff[0] + v_s[1] * diff[1]
                          + v_s[2] * diff[2])
                     w2 = jnp.where(safe_s, w1 * b * iv2_s, 0.0)
@@ -146,6 +150,20 @@ def _make_kernel(Sa, SI, TM, TB, allow, rsum):
                         net_acc[c, :, si, :] += g
                         if sj < Sa:
                             net_acc[c, :, sj, :] -= g
+
+                if dense:
+                    body()
+                else:
+                    # scalar bounding test: tile bound centers/radii
+                    dc2 = ((bc_ref[0, 0, 0, si]
+                            - bc_ref[0, 0, 0, sj]) ** 2
+                           + (bc_ref[0, 0, 1, si]
+                              - bc_ref[0, 0, 1, sj]) ** 2
+                           + (bc_ref[0, 0, 2, si]
+                              - bc_ref[0, 0, 2, sj]) ** 2)
+                    reach = (br_ref[0, 0, 0, si] + br_ref[0, 0, 0, sj]
+                             + rs + em)
+                    pl.when(dc2 <= reach * reach)(body)
 
         net_ref[...] = net_acc[...]
         cost_ref[...] = cost_acc[...]
@@ -175,9 +193,9 @@ def _tile_bounds(x, TM, TB):
 
 @functools.partial(
     jax.jit, static_argnames=("same_link", "rsum_t", "tm", "tb",
-                              "interpret"))
+                              "interpret", "dense"))
 def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
-                  tm, tb, interpret=False):
+                  tm, tb, interpret=False, dense=False):
     _, m, Sa, B = xi.shape
     SI = xo.shape[1]
     So = Sa + SI
@@ -223,7 +241,7 @@ def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
 
     em = jnp.max(eps_self.reshape(nbt, TB), axis=1)[:, None, None]
 
-    kernel = _make_kernel(Sa, SI, TM, TB, allow, rsum)
+    kernel = _make_kernel(Sa, SI, TM, TB, allow, rsum, dense=dense)
     grid = (nmt, nbt)
     xo_in = xo if SI else jnp.zeros((3, 1, bq), dtype)
 
@@ -265,7 +283,7 @@ def _selfcol_call(xi, vel, xo, eps_self, obs_self, *, same_link, rsum_t,
 
 
 def selfcol_pairs(xi, vel, xo, pair_allow, rsum, eps_self, obs_self,
-                  *, interpret=False):
+                  *, interpret=False, dense=False):
     """Self-collision net workspace gradient + per-sphere cost.
 
     Args:
@@ -287,4 +305,5 @@ def selfcol_pairs(xi, vel, xo, pair_allow, rsum, eps_self, obs_self,
                    for row in np.asarray(rsum))
     return _selfcol_call(xi, vel, xo, eps_self, obs_self,
                          same_link=same_link, rsum_t=rsum_t,
-                         tm=_TM, tb=_TB, interpret=interpret)
+                         tm=_TM, tb=_TB, interpret=interpret,
+                         dense=dense)

@@ -39,12 +39,14 @@ def _rand_case(rng, m, Sa, SI, B, scale=0.25):
     return x, vel, jnp.asarray(same), radii_act, radii_all, P
 
 
+@pytest.mark.parametrize("mode", ["pallas_interpret",
+                                  "pallas_dense_interpret"])
 @pytest.mark.parametrize("m,Sa,SI,B", [
     (16, 8, 0, 128),     # tile-aligned, no inactive
     (11, 6, 2, 64),      # ragged m, ragged B, inactive spheres
     (8, 16, 1, 128),     # WAM7-like shape
 ])
-def test_pallas_matches_xla(m, Sa, SI, B):
+def test_pallas_matches_xla(m, Sa, SI, B, mode):
     rng = np.random.default_rng(m * 1000 + Sa * 10 + SI + B)
     x, vel, same, radii_act, radii_all, P = _rand_case(rng, m, Sa, SI, B)
     vnorm = jnp.sqrt(sum(c * c for c in vel))
