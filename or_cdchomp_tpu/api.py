@@ -85,6 +85,11 @@ class KinBody:
             ext = np.sqrt(cr[i] ** 2 + ch[i] ** 2)  # conservative
             lo = np.minimum(lo, cp[i, :3] - ext)
             hi = np.maximum(hi, cp[i, :3] + ext)
+        tv = np.asarray(sc.tri_verts)
+        if tv.shape[0]:
+            pts = tv.reshape(-1, 3)
+            lo = np.minimum(lo, pts.min(axis=0))
+            hi = np.maximum(hi, pts.max(axis=0))
         if not np.all(np.isfinite(lo)):
             lo = np.zeros(3)
             hi = np.zeros(3)
@@ -367,8 +372,34 @@ class CHOMPModule:
         self.sdfs: List[SdfEntry] = []
         self.runs: Dict[str, Run] = {}
         self._next_run = 0
+        # engine cache: bounded + generation-evicted (see
+        # _evict_engines); insertion order doubles as LRU order
         self._engine_cache = {}
         self._fields_version = 0
+
+    # max engines kept alive by the cache (each pins a full HBM
+    # FieldStack + its compiled executables); live runs keep their own
+    # engine references, so eviction never breaks an existing run
+    ENGINE_CACHE_MAX = 16
+
+    def _evict_engines(self):
+        """Drop cached engines built against a superseded field
+        registry — their FieldStack pins device buffers of SDFs that
+        were removed/replaced (the reference frees SDF grids eagerly:
+        removefield orcdchomp_mod.cpp:799-847, run_destroy 3039-3066)
+        — then LRU-bound what remains so per-hook/per-spec entries
+        cannot grow without bound."""
+        stale = [k for k in self._engine_cache
+                 if k[2] != self._fields_version]
+        for k in stale:
+            del self._engine_cache[k]
+        while len(self._engine_cache) > self.ENGINE_CACHE_MAX:
+            del self._engine_cache[next(iter(self._engine_cache))]
+
+    def clear_engine_cache(self):
+        """Explicitly drop every cached engine (device memory is freed
+        once no live run references it)."""
+        self._engine_cache.clear()
 
     # ----- world management ----------------------------------------------
 
@@ -491,6 +522,7 @@ class CHOMPModule:
         self.sdfs.append(SdfEntry(kinbody_name=name, grid=grid,
                                   pose=grid_pose))
         self._fields_version += 1
+        self._evict_engines()
         return ""
 
     def _build_sdf_grid(self, name, body, grid_pose, sizes, lengths,
@@ -541,6 +573,7 @@ class CHOMPModule:
         grid = Grid3D(data=data, lengths=jnp.asarray(lengths, jnp.float32))
         self.sdfs.append(SdfEntry(kinbody_name=name, grid=grid, pose=pose))
         self._fields_version += 1
+        self._evict_engines()
         return ""
 
     def viewfields(self, **_):
@@ -564,6 +597,7 @@ class CHOMPModule:
             if s.kinbody_name == name:
                 del self.sdfs[i]
                 self._fields_version += 1
+                self._evict_engines()
                 return ""
         raise RuntimeError("kinbody not found, or has no sdf attached!")
 
@@ -743,14 +777,16 @@ class CHOMPModule:
         # its id cannot be recycled while the entry exists)
         key = (spec, id(r.model), self._fields_version, cons,
                id(start_cost) if start_cost is not None else None)
-        engine = self._engine_cache.get(key)
+        engine = self._engine_cache.pop(key, None)
         if engine is None:
             fields = self._field_stack()
             engine = ChompEngine(
                 spec, r.model, fields, cons=cons,
                 extra_cost=start_cost, dtype=self.dtype, metric_ops=ops,
                 metric_mode="sep" if use_sep else "dense")
-            self._engine_cache[key] = engine
+        # (re-)insert at the back: insertion order is LRU order
+        self._engine_cache[key] = engine
+        self._evict_engines()
 
         B, trC, Evels = engine.build_affine(init0, final0, n)
 

@@ -516,10 +516,28 @@ class ChompEngine:
         return probs, jnp.moveaxis(costs, 0, 1)
 
     # -- drivers -----------------------------------------------------------
+    # Every driver jit is PER-ENGINE (created lazily, owned by the
+    # engine instance): a class-level @jit(static_argnums=(0,)) would
+    # key its global cache on the engine object, pinning every engine
+    # ever created — plus the FieldStack device buffers baked into its
+    # executables as constants — for the life of the process.  The
+    # module-level engine cache (api._evict_engines) relies on dropped
+    # engines actually freeing their HBM.
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _jitted(self, name, impl, static_argnums=()):
+        d = self.__dict__.setdefault("_jits", {})
+        w = d.get(name)
+        if w is None:
+            w = jax.jit(impl, static_argnums=static_argnums)
+            d[name] = w
+        return w
+
     def iterate(self, prob: ChompProblem, n_iter: int):
         """n_iter steps via lax.scan; returns (problem, costs (n_iter, 3))."""
+        return self._jitted("iterate", self._iterate_impl, (1,))(
+            prob, n_iter)
+
+    def _iterate_impl(self, prob: ChompProblem, n_iter: int):
         def body(p, _):
             p, costs = self.step(p)
             return p, jnp.stack(costs)
@@ -531,8 +549,13 @@ class ChompEngine:
     # per engine serves every (n_iter, max_time) pattern
     ITER_CHUNK = 16
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
     def iterate_masked(self, prob: ChompProblem, valid, chunk_size=None):
+        if chunk_size is None:
+            chunk_size = self.ITER_CHUNK
+        return self._jitted("iterate_masked", self._iterate_masked_impl,
+                            (2,))(prob, valid, chunk_size)
+
+    def _iterate_masked_impl(self, prob: ChompProblem, valid, chunk_size):
         """``chunk_size`` steps with the first ``valid`` (a *traced*
         scalar) applied and the rest passed through unchanged.  Unlike
         :meth:`iterate`, whose executable is specialized on the static
@@ -544,13 +567,16 @@ class ChompEngine:
         of paying all ITER_CHUNK steps and discarding 15.  Returns
         (problem, costs (chunk_size, 3)); rows ≥ valid are garbage and
         the caller slices them off."""
-        if chunk_size is None:
-            chunk_size = self.ITER_CHUNK
         valid = jnp.asarray(valid, jnp.int32)
         if chunk_size == 1:
-            # single-step bucket: no masking needed (valid ∈ {0, 1};
-            # api.iterate never calls with valid=0)
-            prob, costs = self.step(prob)
+            # single-step bucket: mask the lone step on valid > 0 so a
+            # valid=0 caller gets a pure pass-through (the documented
+            # "first valid applied" contract; api.iterate never sends
+            # valid=0 but the bucket must not rely on that)
+            prob2, costs = self.step(prob)
+            take = valid > 0
+            prob = jax.tree.map(lambda a, b: jnp.where(take, a, b),
+                                prob2, prob)
             return prob, jnp.stack(costs)[None]
 
         def body(p, i):
@@ -563,15 +589,17 @@ class ChompEngine:
                                    jnp.arange(chunk_size, dtype=jnp.int32))
         return prob, costs
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def costs_only_jit(self, prob: ChompProblem):
-        return self.costs_only(prob)
+        return self._jitted("costs_only", self.costs_only)(prob)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
     def iterate_batch(self, probs: ChompProblem, n_iter: int):
         """Batched: probs has a leading problem axis on every leaf.
         Uses the batch-native SoA step when the problem class allows,
         vmap of the per-problem step otherwise."""
+        return self._jitted("iterate_batch", self._iterate_batch_impl,
+                            (1,))(probs, n_iter)
+
+    def _iterate_batch_impl(self, probs: ChompProblem, n_iter: int):
         if self.batch_native_ok:
             return self.iterate_batched_nojit(probs, n_iter)
 
@@ -587,6 +615,7 @@ class ChompEngine:
 
         return jax.lax.scan(body, prob, None, length=n_iter)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def final_costs_batch(self, probs):
-        return jax.vmap(self.costs_only)(probs)
+        return self._jitted(
+            "final_costs_batch",
+            lambda ps: jax.vmap(self.costs_only)(ps))(probs)

@@ -136,8 +136,23 @@ class BatchSolver:
         sub = Mesh(self.mesh.devices.reshape(-1)[:d], (self.axis,))
         return jax.device_put(probs, NamedSharding(sub, P(self.axis)))
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _jitted(self, name, impl, static_argnums=()):
+        # per-solver jit wrappers (as in ChompEngine._jitted): a
+        # class-level @jit(static_argnums=(0,)) would pin every solver
+        # + engine + FieldStack in the global jit cache forever,
+        # defeating api._evict_engines
+        d = self.__dict__.setdefault("_jits", {})
+        w = d.get(name)
+        if w is None:
+            w = jax.jit(impl, static_argnums=static_argnums)
+            d[name] = w
+        return w
+
     def iterate(self, probs: ChompProblem, n_iter: int):
+        return self._jitted("iterate", self._iterate_impl, (1,))(
+            probs, n_iter)
+
+    def _iterate_impl(self, probs: ChompProblem, n_iter: int):
         """(P,)-batched scan of n_iter steps.  Returns
         (problems, costs (n_iter, P, 3))."""
         if self.engine.batch_native_ok:
@@ -207,16 +222,20 @@ class BatchSolver:
             return probs, costs
         return run(probs)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
     def iterate_masked(self, probs: ChompProblem, valid, chunk_size: int):
         """``chunk_size`` batched steps with the first ``valid`` (a
         *traced* scalar) applied.  Returns (problems,
         costs (chunk_size, P, 3)); rows ≥ valid are garbage."""
-        return self._masked_scan(probs, valid, chunk_size)
+        return self._jitted("iterate_masked", self._masked_scan, (2,))(
+            probs, valid, chunk_size)
 
-    @functools.partial(jax.jit, static_argnums=(0, 3))
     def iterate_until(self, probs: ChompProblem, valid, chunk_size: int,
                       tol=0.0):
+        return self._jitted("iterate_until", self._iterate_until_impl,
+                            (2,))(probs, valid, chunk_size, tol)
+
+    def _iterate_until_impl(self, probs: ChompProblem, valid,
+                            chunk_size: int, tol=0.0):
         """One convergence-checked masked chunk: run ``valid`` of
         ``chunk_size`` iterations, report (problems, last_costs (P, 3),
         all_converged ()).  ``valid`` and ``tol`` are traced — varying

@@ -67,14 +67,20 @@ def test_masked_driver_single_compile_across_budgets(setup):
     probs = _batch(run, 6)
     solver = BatchSolver(run.engine)
 
-    n0m = solver.iterate_masked._cache_size()
-    n0u = solver.iterate_until._cache_size()
+    # warm one call each so the per-solver jit wrappers exist
+    # (solver-owned caches since round 5), then count what a sweep adds
+    probs, _ = solver.iterate_masked(probs, 2, 8)
+    probs, _, _ = solver.iterate_until(probs, 4, 8, 1e9)
+    wm = solver._jits["iterate_masked"]
+    wu = solver._jits["iterate_until"]
+    n0m = wm._cache_size()
+    n0u = wu._cache_size()
     for valid in (2, 5, 8, 3):
         probs, _ = solver.iterate_masked(probs, valid, 8)
-    for tol in (1e9, 0.05, -1.0):
+    for tol in (0.05, -1.0):
         probs, _, _ = solver.iterate_until(probs, 4, 8, tol)
-    assert solver.iterate_masked._cache_size() - n0m <= 1
-    assert solver.iterate_until._cache_size() - n0u <= 1
+    assert wm._cache_size() == n0m
+    assert wu._cache_size() == n0u
 
 
 def test_solve_tail_chunk_no_recompile(setup):

@@ -114,17 +114,20 @@ def test_masked_iterate_matches_static_and_compiles_once(world):
     engine = rn1.engine
     assert engine is rn2.engine   # same static structure → shared engine
 
-    # the jit cache is class-level (shared across engines); count only
-    # the entries THIS test adds
-    cache_before = type(engine).iterate_masked._cache_size()
+    # warm one call so the PER-ENGINE jit wrapper exists (engine-owned
+    # caches since round 5: evicted engines must actually free), then
+    # count only the entries the mixed patterns add
+    mod.iterate(run=h1, n_iter=1)
+    wrapper = engine._jits["iterate_masked"]
+    cache_before = wrapper._cache_size()
 
     # drive run 1 through mixed n_iter patterns via the api
-    c1 = mod.iterate(run=h1, n_iter=5)
+    c1 = mod.iterate(run=h1, n_iter=4)
     c1 = mod.iterate(run=h1, n_iter=17)   # crosses a chunk boundary
     c1 = mod.iterate(run=h1, n_iter=2, max_time=1e9)
 
     # drive run 2 with the static-length scans (the bench path)
-    for n in (5, 17, 2):
+    for n in (1, 4, 17, 2):
         rn2.problem, _ = engine.iterate(rn2.problem, n)
 
     np.testing.assert_allclose(np.asarray(rn1.problem.traj),
@@ -135,7 +138,7 @@ def test_masked_iterate_matches_static_and_compiles_once(world):
     # one executable: despite 3 distinct n_iter patterns, this test
     # adds at most ONE iterate_masked cache entry (the valid count is a
     # traced scalar, so n_iter never specializes the executable)
-    added = type(engine).iterate_masked._cache_size() - cache_before
+    added = wrapper._cache_size() - cache_before
     assert added <= 1, f"iterate_masked compiled {added} times"
     mod.destroy(run=h1)
     mod.destroy(run=h2)
