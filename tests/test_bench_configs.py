@@ -64,3 +64,77 @@ def test_config1_solve_collision_free(config1):
     traj = mod.gettraj(run=h, no_collision_exception=True)
     assert not traj.in_collision
     mod.destroy(run=h)
+
+
+# ---- config 2 (cluttered multi-SDF) --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def config2():
+    return C.cluttered_multi_sdf(jnp.float64, n_points=11)
+
+
+def test_config2_endpoints_feasible(config2):
+    mod, run, goal = config2
+    robot = mod.robots["wam"]
+    for label, q in (("start", np.asarray(run.problem.traj)[0]),
+                     ("goal", goal)):
+        clear = _clearances(mod, robot, np.asarray(q, np.float64))
+        for name, c in clear.items():
+            assert c >= MARGIN, (label, name, c)
+
+
+def test_config2_solve_collision_free(config2):
+    mod, run, goal = config2
+    h = mod.create(robot="wam", adofgoal=goal, lambda_=100.0,
+                   obs_factor=500.0, obs_factor_self=10.0,
+                   epsilon_self=0.04, n_points=31)
+    mod.iterate(run=h, n_iter=60)
+    traj = mod.gettraj(run=h, no_collision_exception=True)
+    assert not traj.in_collision
+    mod.destroy(run=h)
+
+
+# ---- config 4 (floating base + everyn TSR) -------------------------------
+
+
+@pytest.fixture(scope="module")
+def config4():
+    return C.floating_everyn_tsr(jnp.float64, n_points=11)
+
+
+def _floating_clearances(mod, robot, row):
+    """row = [base_pose7, q_adof]: place the base, then reuse the
+    fixed-base clearance helper."""
+    old = robot.pose
+    try:
+        robot.pose = np.asarray(row[:7], np.float64)
+        return _clearances(mod, robot, np.asarray(row[7:], np.float64))
+    finally:
+        robot.pose = old
+
+
+def test_config4_endpoints_feasible(config4):
+    mod, run, goal = config4
+    robot = mod.robots["wam"]
+    traj = np.asarray(run.problem.traj)
+    for label, row in (("start", traj[0]), ("goal", traj[-1])):
+        clear = _floating_clearances(mod, robot, row)
+        for name, c in clear.items():
+            assert c >= MARGIN, (label, name, c)
+
+
+def test_config4_solve_collision_free(config4):
+    from or_cdchomp_tpu.tsr import TSR
+    mod, run, goal = config4
+    tsr = TSR.from_matrices(
+        np.eye(4), np.eye(4),
+        Bw=np.array([[-10, 10], [-10, 10], [-10, 10],
+                     [0, 0], [0, 0], [-np.pi, np.pi]]))
+    h = mod.create(robot="wam", adofgoal=goal[7:], basegoal=goal[:7],
+                   floating_base=True, lambda_=200.0, obs_factor=200.0,
+                   n_points=31, everyn_tsr=tsr)
+    mod.iterate(run=h, n_iter=60)
+    traj = mod.gettraj(run=h, no_collision_exception=True)
+    assert not traj.in_collision
+    mod.destroy(run=h)
