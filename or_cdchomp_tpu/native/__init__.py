@@ -58,6 +58,12 @@ def _load():
         ctypes.c_int64, ctypes.POINTER(ctypes.c_double),          # cylinders
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+    lib.cdx_voxelize_tris.restype = ctypes.c_int
+    lib.cdx_voxelize_tris.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,           # sizes
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double,         # lengths, e
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),          # tris
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
     lib.cdx_flood_exterior.restype = ctypes.c_int
     lib.cdx_flood_exterior.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),
@@ -172,9 +178,14 @@ def voxelize_native(scenes, scene_poses, pose_world_gsdf, sizes, lengths,
     box_pose, box_half = [], []
     sph_c, sph_r = [], []
     cyl_pose, cyl_r, cyl_h = [], [], []
+    tris = []
     for sc, pose in zip(scenes, scene_poses):
         g_from_scene = np_pose.compose(gsdf_from_world,
                                        np.asarray(pose, dtype=np.float64))
+        tv = np.asarray(sc.tri_verts, np.float64)
+        for i in range(tv.shape[0]):
+            tris.append(np.stack([np_pose.apply(g_from_scene, tv[i, k])
+                                  for k in range(3)]))
         for i in range(np.asarray(sc.box_pose).shape[0]):
             box_pose.append(np_pose.compose(
                 g_from_scene, np.asarray(sc.box_pose, np.float64)[i]))
@@ -201,6 +212,14 @@ def voxelize_native(scenes, scene_poses, pose_world_gsdf, sizes, lengths,
         int(n_threads), occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         raise RuntimeError(f"cdx_voxelize failed: {rc}")
+    if tris:
+        rc = lib.cdx_voxelize_tris(
+            sizes[0], sizes[1], sizes[2], _dp(lengths64),
+            float(cube_extent), len(tris),
+            _dp(np.asarray(tris).reshape(-1, 9)), int(n_threads),
+            occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise RuntimeError(f"cdx_voxelize_tris failed: {rc}")
     return occ
 
 

@@ -390,6 +390,93 @@ int cdx_voxelize(int64_t nx, int64_t ny, int64_t nz, const double* lengths,
   return 0;
 }
 
+// Triangle-mesh voxelization: 13-axis SAT (Akenine-Möller) between
+// each cell cube and each triangle (already transformed to the grid
+// frame).  OR-accumulates into occ so it composes with cdx_voxelize.
+// Surface-shell semantics; closed interiors are filled by the flood
+// pass (orcdchomp_mod.cpp:540-548), matching the reference's
+// probe-cube-vs-trimesh collision check (orcdchomp_mod.cpp:495-525).
+static bool cube_tri_overlap(const double* p, double e, const double* tri) {
+  // 1e-9 inclusive tolerance: exact-touch contacts classify as hits
+  // regardless of rounding (mirrors ops/voxelize.py _tri_cube_overlap)
+  const double tol = 1e-9;
+  double v[3][3];
+  for (int k = 0; k < 3; k++)
+    for (int c = 0; c < 3; c++) v[k][c] = tri[k * 3 + c] - p[c];
+  for (int c = 0; c < 3; c++) {
+    double mn = std::fmin(v[0][c], std::fmin(v[1][c], v[2][c]));
+    double mx = std::fmax(v[0][c], std::fmax(v[1][c], v[2][c]));
+    if (mn > e + tol || mx < -e - tol) return false;
+  }
+  double f[3][3];
+  for (int c = 0; c < 3; c++) {
+    f[0][c] = v[1][c] - v[0][c];
+    f[1][c] = v[2][c] - v[1][c];
+    f[2][c] = v[0][c] - v[2][c];
+  }
+  double n[3] = {f[0][1] * f[1][2] - f[0][2] * f[1][1],
+                 f[0][2] * f[1][0] - f[0][0] * f[1][2],
+                 f[0][0] * f[1][1] - f[0][1] * f[1][0]};
+  double d = n[0] * v[0][0] + n[1] * v[0][1] + n[2] * v[0][2];
+  double r = e * (std::fabs(n[0]) + std::fabs(n[1]) + std::fabs(n[2]));
+  if (std::fabs(d) > r + tol) return false;
+  for (int k = 0; k < 3; k++) {
+    for (int i = 0; i < 3; i++) {
+      int i1 = (i + 1) % 3, i2 = (i + 2) % 3;
+      double p0 = -v[0][i1] * f[k][i2] + v[0][i2] * f[k][i1];
+      double p1 = -v[1][i1] * f[k][i2] + v[1][i2] * f[k][i1];
+      double p2 = -v[2][i1] * f[k][i2] + v[2][i2] * f[k][i1];
+      double rad = e * (std::fabs(f[k][i2]) + std::fabs(f[k][i1])) + tol;
+      double mn = std::fmin(p0, std::fmin(p1, p2));
+      double mx = std::fmax(p0, std::fmax(p1, p2));
+      if (mn > rad || mx < -rad) return false;
+    }
+  }
+  return true;
+}
+
+int cdx_voxelize_tris(int64_t nx, int64_t ny, int64_t nz,
+                      const double* lengths, double cube_extent,
+                      int64_t n_tri, const double* tris, int n_threads,
+                      uint8_t* occ) {
+  const double ex = lengths[0] / nx, ey = lengths[1] / ny,
+               ez = lengths[2] / nz;
+  const double e = cube_extent;
+  auto work = [&](int64_t x0, int64_t x1) {
+    for (int64_t ix = x0; ix < x1; ix++) {
+      double px = (ix + 0.5) * ex;
+      for (int64_t iy = 0; iy < ny; iy++) {
+        double py = (iy + 0.5) * ey;
+        uint8_t* row = occ + (ix * ny + iy) * nz;
+        for (int64_t iz = 0; iz < nz; iz++) {
+          if (row[iz]) continue;
+          double p[3] = {px, py, (iz + 0.5) * ez};
+          for (int64_t t = 0; t < n_tri; t++) {
+            if (cube_tri_overlap(p, e, tris + t * 9)) {
+              row[iz] = 1;
+              break;
+            }
+          }
+        }
+      }
+    }
+  };
+  int nt = n_threads > 0 ? n_threads
+                         : static_cast<int>(std::thread::hardware_concurrency());
+  if (nt < 1) nt = 1;
+  if (nt > nx) nt = static_cast<int>(nx);
+  std::vector<std::thread> threads;
+  int64_t chunk = (nx + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int64_t x0 = t * chunk;
+    int64_t x1 = x0 + chunk < nx ? x0 + chunk : nx;
+    if (x0 >= x1) break;
+    threads.emplace_back(work, x0, x1);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // exterior flood fill (grid_flood.c:30-111 + orcdchomp_mod.cpp:540-548)
 // ---------------------------------------------------------------------------
