@@ -42,8 +42,18 @@ _SELFCOL = _os.environ.get("CDX_SELFCOL", "xla")
 # measurement-only ablation knob: zero out one phase of the SoA cost
 # to get its TRUE wall share (the compiler's per-fusion cycle
 # estimates over-count vs wall ~2x; see BENCHMARKS.md round 4).
-# NEVER set in production: results are wrong by construction.
-_ABLATE = set(_os.environ.get("CDX_ABLATE", "").split(","))
+# NEVER set in production: results are wrong by construction — so a
+# non-empty set screams at import time (a stray env var must not
+# silently corrupt a production solve).
+_ABLATE = set(filter(None, _os.environ.get("CDX_ABLATE", "").split(",")))
+if _ABLATE:
+    import warnings as _warnings
+
+    _warnings.warn(
+        f"CDX_ABLATE={sorted(_ABLATE)} is set: these cost phases are "
+        "STUBBED OUT and every solve is wrong by construction. "
+        "Measurement-only — unset CDX_ABLATE for real results.",
+        stacklevel=2)
 
 
 def _components(arr2, n):
