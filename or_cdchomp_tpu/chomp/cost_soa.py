@@ -134,11 +134,15 @@ def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
                              vals7[2 + 2 * i]) for i in range(3)]
         elif _SOA_LOOKUP == "4":
             # neighbor direction is already known: gather only the 4
-            # needed cells (vs 7 candidates + select)
+            # needed cells (vs 7 candidates + select).  Queries stay
+            # (m·S, B) — merging the sharded minor batch axis into a
+            # flat Q would force per-iteration index all-gathers and a
+            # fully replicated lookup dot under a dp mesh (pod_model.py)
             nbrs = [(idx + jnp.where(use_next[i], strides[i],
-                                     -strides[i])).reshape(-1)
+                                     -strides[i])).reshape((m * S, B))
                     for i in range(3)]
-            v0q, vnq = _lookup4_qlanes(flat, idx.reshape(-1), nbrs, dtype)
+            v0q, vnq = _lookup4_qlanes(flat, idx.reshape((m * S, B)),
+                                       nbrs, dtype)
             v0 = v0q.reshape((m, S, B))
             vn3 = [vnq[i].reshape((m, S, B)) for i in range(3)]
         else:

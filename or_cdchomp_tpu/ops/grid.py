@@ -292,7 +292,10 @@ def _lookup_onehot2_qlanes(flat, idx, strides, dtype):
     """
     sx, sy, sz = strides
     flat = _definite(flat)
-    qi0 = idx.reshape(-1)
+    # keep the minor (batch) axis un-merged so dp sharding propagates
+    # (see _onehot2_lookup_qlanes_one); query shape (mS, B) for 3-d idx
+    qi0 = (idx.reshape((-1, idx.shape[-1])) if idx.ndim >= 2
+           else idx.reshape(-1))
     if _QLANES_METHOD == "take":
         idx7 = jnp.stack([qi0, qi0 + sx, qi0 - sx, qi0 + sy, qi0 - sy,
                           qi0 + sz, qi0 - sz])
@@ -319,13 +322,14 @@ def _lookup_onehot2_qlanes(flat, idx, strides, dtype):
     # the single one-hot dot into an internal gather (~100x fewer
     # FLOPs), and the split defeats that rewrite, forcing two real
     # dense matmuls.  Keep the single dot in the compute dtype.
-    oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
-             ).astype(dtype)                                   # (L, Q)
-    T = jnp.dot(A.astype(dtype), oh_lo,
-                preferred_element_type=dtype)                  # (7H, Q)
-    oh_hi = (jnp.arange(H, dtype=jnp.int32)[:, None] == hi[None, :]
-             ).astype(dtype)                                   # (H, Q)
-    return jnp.sum(T.reshape(7, H, -1) * oh_hi[None], axis=1)  # (7, Q)
+    lane = jnp.arange(L, dtype=jnp.int32).reshape((L,) + (1,) * qi.ndim)
+    oh_lo = (lane == lo[None]).astype(dtype)                   # (L, *Q)
+    T = jnp.tensordot(A.astype(dtype), oh_lo,
+                      axes=([1], [0]))                         # (7H, *Q)
+    row = jnp.arange(H, dtype=jnp.int32).reshape((H,) + (1,) * qi.ndim)
+    oh_hi = (row == hi[None]).astype(dtype)                    # (H, *Q)
+    return jnp.sum(T.reshape((7, H) + qi.shape) * oh_hi[None],
+                   axis=1)                                     # (7, *Q)
 
 
 # bf16 hi/lo two-dot variant of the 4-gather lookup (A/B knob): each
@@ -339,29 +343,39 @@ _LOOKUP4_BF16 = _os.environ.get("CDX_LOOKUP4_BF16", "0") == "1"
 
 def _onehot2_lookup_qlanes_one(flat_def, qi, dtype):
     """One gathered value per query via the two-sided one-hot form:
-    (H, L) @ (L, Q) + hi-select.  ``flat_def`` must already be padded
-    to H·L and inf-replaced.  Returns (Q,)."""
+    (H, L) @ (L, *Q) + hi-select.  ``flat_def`` must already be padded
+    to H·L and inf-replaced.
+
+    ``qi`` may have ANY rank; the query axes are never merged.  This
+    matters for sharding: the SoA caller passes (m·S, B) with the
+    problem batch B sharded on the last axis — a flat reshape to (Q,)
+    would merge the sharded (minor) axis and force XLA to all-gather
+    the indices and run the lookup dot fully replicated on every
+    device (measured: 4 per-iteration all-gathers + [36, full-Q] dots
+    under a (hosts, dp) mesh, benchmarks/pod_model.py round 5).
+    Returns qi.shape."""
     L = _ONEHOT2_L4
     H = flat_def.shape[0] // L
     A = flat_def.reshape(H, L)
     hi = qi // L
     lo = qi - hi * L
+    lane = jnp.arange(L, dtype=jnp.int32).reshape(
+        (L,) + (1,) * qi.ndim)
     if _LOOKUP4_BF16 and dtype == jnp.float32:
         A32 = A.astype(jnp.float32)
         A_hi = A32.astype(jnp.bfloat16)
         A_lo = (A32 - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
-                 ).astype(jnp.bfloat16)
-        T = (jnp.dot(A_hi, oh_lo, preferred_element_type=jnp.float32)
-             + jnp.dot(A_lo, oh_lo, preferred_element_type=jnp.float32))
+        oh_lo = (lane == lo[None]).astype(jnp.bfloat16)
+        T = (jnp.tensordot(A_hi, oh_lo, axes=([1], [0])).astype(jnp.float32)
+             + jnp.tensordot(A_lo, oh_lo, axes=([1], [0])).astype(
+                 jnp.float32))
     else:
-        oh_lo = (jnp.arange(L, dtype=jnp.int32)[:, None] == lo[None, :]
-                 ).astype(dtype)                               # (L, Q)
-        T = jnp.dot(A.astype(dtype), oh_lo,
-                    preferred_element_type=dtype)              # (H, Q)
-    oh_hi = (jnp.arange(H, dtype=jnp.int32)[:, None] == hi[None, :]
-             ).astype(dtype)                                   # (H, Q)
-    return jnp.sum(T.astype(dtype) * oh_hi, axis=0)            # (Q,)
+        oh_lo = (lane == lo[None]).astype(dtype)               # (L, *Q)
+        T = jnp.tensordot(A.astype(dtype), oh_lo,
+                          axes=([1], [0]))                     # (H, *Q)
+    row = jnp.arange(H, dtype=jnp.int32).reshape((H,) + (1,) * qi.ndim)
+    oh_hi = (row == hi[None]).astype(dtype)                    # (H, *Q)
+    return jnp.sum(T.astype(dtype) * oh_hi, axis=0)            # (*Q,)
 
 
 # "stack" mode: one dot over the 4 concatenated index sets instead of
@@ -381,8 +395,10 @@ def _lookup4_qlanes(flat, idx, nbr_idx3, dtype):
     internal gather, so this cuts gathered values 7 → 4 (the lookup dot
     was 38.6% of round-3 step cycles).
 
-    flat: (cells,); idx: (Q,) center flat index; nbr_idx3: 3 arrays of
-    (Q,) per-axis neighbor flat indices.  Returns (v0 (Q,), vn (3, Q)).
+    flat: (cells,); idx: (*Q,) center flat index (any rank; axes are
+    never merged — see _onehot2_lookup_qlanes_one's sharding note);
+    nbr_idx3: 3 arrays of (*Q,) per-axis neighbor flat indices.
+    Returns (v0 (*Q,), vn (3, *Q)).
     """
     flat = _definite(flat)
     L = _ONEHOT2_L4
@@ -392,10 +408,8 @@ def _lookup4_qlanes(flat, idx, nbr_idx3, dtype):
         flat = jnp.pad(flat, (0, pad),
                        constant_values=_BIG.astype(flat.dtype) / 2)
     if _LOOKUP4_STACK:
-        qi4 = jnp.concatenate([idx, *nbr_idx3])
+        qi4 = jnp.stack([idx, *nbr_idx3])
         v4 = _onehot2_lookup_qlanes_one(flat, qi4, dtype)
-        q = idx.shape[0]
-        v4 = v4.reshape(4, q)
         return v4[0], v4[1:]
     v0 = _onehot2_lookup_qlanes_one(flat, idx, dtype)
     vn = jnp.stack([_onehot2_lookup_qlanes_one(flat, nb, dtype)
