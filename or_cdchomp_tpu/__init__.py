@@ -13,6 +13,7 @@ reference tree (e.g. ``chomp.c:430-683``).
 __version__ = "0.1.0"
 
 from or_cdchomp_tpu.api import CHOMPModule, KinBody, Robot  # noqa: E402,F401
+from or_cdchomp_tpu.models.orxml import parse_robot_xml  # noqa: E402,F401
 from or_cdchomp_tpu.models.urdf import load_urdf, parse_urdf  # noqa: E402,F401
 from or_cdchomp_tpu.models.wam7 import wam7  # noqa: E402,F401
 from or_cdchomp_tpu.ops.voxelize import Scene  # noqa: E402,F401
