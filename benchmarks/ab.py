@@ -55,6 +55,7 @@ def main():
     ARMS = {
         "base": {},
         "lookup7": {"lookup": "7"},
+        "lookup4b": {"lookup": "4b"},
         "L32": {"L": 32},
         "L64": {"L": 64},
         "L128": {"L": 128},

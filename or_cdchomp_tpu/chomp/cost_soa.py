@@ -25,8 +25,8 @@ from or_cdchomp_tpu.chomp.cost import _BASE_JAC_DAMP, _VEL_EPS, FieldStack
 from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec
 from or_cdchomp_tpu.ops import soa
 from or_cdchomp_tpu.ops.grid import (
-    _BIG, _lookup4_qlanes, _lookup_gather, _lookup_onehot2_qlanes,
-    _pick_method)
+    _BIG, _definite, _lookup4_qlanes, _lookup4_qlanes_fields,
+    _lookup_gather, _lookup_onehot2_qlanes, _pick_method)
 
 # SoA lookup form: "4" gathers center + the chosen neighbor per axis
 # (4 values/query); "7" gathers both neighbors and selects afterwards
@@ -92,6 +92,7 @@ def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
 
     best_v = None
     best_g = None
+    pre = []
     for f in range(F):
         pg = probs.pose_gsdf_world[:, f]     # (B, 7)
         p = soa.add(soa.qrot(_components(pg[:, 3:], 4), x),
@@ -119,8 +120,32 @@ def _obstacle_soa(spec: ChompSpec, fields: FieldStack, radii,
             use_next.append(un)
 
         idx = (sub[0] * my + sub[1]) * mz + sub[2]      # (m, S, B)
+        pre.append((p, in_b, center, use_next, idx, szf, ln))
+
+    # field-batched lookup: ONE batched one-hot contraction for all
+    # F·4 gathered values (vs F·4 separate dots; same MACs) — the
+    # multi-SDF (config 2) kernel-count diet
+    batched = (_SOA_LOOKUP == "4b" and method != "gather"
+               and "lookup" not in _ABLATE and F > 0)
+    if batched:
+        idx_all = jnp.stack(
+            [pf[4].reshape((m * S, B)) for pf in pre])     # (F, mS, B)
+        nbr_all = jnp.stack([
+            jnp.stack([(pf[4] + jnp.where(pf[3][i], strides[i],
+                                          -strides[i])).reshape((m * S, B))
+                       for pf in pre])
+            for i in range(3)])                            # (3, F, mS, B)
+        v0_all, vn_all = _lookup4_qlanes_fields(
+            _definite(fields.data.reshape(F, -1)), idx_all, nbr_all,
+            dtype)
+
+    for f in range(F):
+        p, in_b, center, use_next, idx, szf, ln = pre[f]
         flat = fields.data[f].reshape(-1)
-        if "lookup" in _ABLATE:
+        if batched:
+            v0 = v0_all[f].reshape((m, S, B))
+            vn3 = [vn_all[i, f].reshape((m, S, B)) for i in range(3)]
+        elif "lookup" in _ABLATE:
             # measurement-only: input-dependent stand-ins so consumers
             # keep their shapes but the gather machinery vanishes
             v0 = p[0] * 0.1

@@ -417,6 +417,42 @@ def _lookup4_qlanes(flat, idx, nbr_idx3, dtype):
     return v0, vn
 
 
+def _lookup4_qlanes_fields(flats, idx, nbr_idx3, dtype):
+    """Field-batched 4-value lookup: every field's (center + 3
+    neighbor) queries in ONE batched one-hot contraction.
+
+    The per-field form issues F·4 separate dots (plus their one-hot
+    iota fusions); MAC count is identical either way (the F tables are
+    independent, so the contraction batches over F instead of
+    concatenating tables — the concat form would be F× more MACs, the
+    measured round-4 loser).  flats: (F, cells) already inf-replaced;
+    idx: (F, *Q); nbr_idx3: (3, F, *Q).  Returns (v0 (F, *Q),
+    vn (3, F, *Q)).
+    """
+    F, cells = flats.shape
+    L = _ONEHOT2_L4
+    pad = -cells % L
+    if pad:
+        flats = jnp.pad(flats, ((0, 0), (0, pad)),
+                        constant_values=_BIG.astype(flats.dtype) / 2)
+    H = flats.shape[1] // L
+    A = flats.reshape(F, H, L)
+    qi = jnp.concatenate([idx[:, None], jnp.moveaxis(nbr_idx3, 0, 1)],
+                         axis=1)                           # (F, 4, *Q)
+    hi = qi // L
+    lo = qi - hi * L
+    lane = jnp.arange(L, dtype=jnp.int32).reshape(
+        (1, L) + (1,) * (qi.ndim - 1))
+    oh_lo = (lane == lo[:, None]).astype(dtype)            # (F, L, 4, *Q)
+    # batched over F, contracting L: one dot_general for all fields
+    T = jnp.einsum("fhl,fl...->fh...", A.astype(dtype), oh_lo)
+    row = jnp.arange(H, dtype=jnp.int32).reshape(
+        (1, H) + (1,) * (qi.ndim - 1))
+    oh_hi = (row == hi[:, None]).astype(dtype)             # (F, H, 4, *Q)
+    v4 = jnp.sum(T * oh_hi, axis=1)                        # (F, 4, *Q)
+    return v4[:, 0], jnp.moveaxis(v4[:, 1:], 1, 0)
+
+
 def _pick_method(cells):
     """Lookup backend: the two-sided one-hot factorization (a real MXU
     matmul over the lane axis + cheap hi-select — measured 3-4x faster
