@@ -118,6 +118,9 @@ def main():
         jax.block_until_ready(out)
 
     def timed_reps(n):
+        """Per-rep blocking walls: include the axon-tunnel dispatch
+        round trip (~20 ms) every rep — pessimistic for throughput but
+        exactly what the spread/contention diagnostics need."""
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
@@ -126,11 +129,24 @@ def main():
             ts.append(time.perf_counter() - t0)
         return ts
 
+    def timed_pipelined(n):
+        """n async-dispatched solves, one final block: the steady-state
+        per-solve wall of a saturated server (dispatch overlaps
+        compute; matches the same-process A/B harness, ab.py)."""
+        t0 = time.perf_counter()
+        out = probs_dev
+        for _ in range(n):
+            out, _ = solver.iterate(out, N_ITER)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
     # Measurement discipline (round-4 lesson: the official capture once
     # recorded 794 on a 4372 solves/s HEAD — contended/cold chip, 2-rep
-    # mean, nothing flagged it): >=5 per-rep walls, median as the
-    # headline, spread check with one retry, and a loud note when the
-    # result is implausible vs the recorded floor.
+    # mean, nothing flagged it): >=5 per-rep walls for a spread check
+    # with one retry + a loud note when the result is implausible vs
+    # the recorded floor; the headline is the pipelined steady-state
+    # median (per-rep blocking walls each pay the remote-tunnel
+    # dispatch RTT, measured ~20 ms of the ~51 ms solve).
     times = timed_reps(REPS)
     spread = (max(times) - min(times)) / np.median(times)
     retried = False
@@ -139,9 +155,10 @@ def main():
         times = timed_reps(REPS)
         spread = (max(times) - min(times)) / np.median(times)
 
-    med = float(np.median(times))
+    pipe = [timed_pipelined(REPS) for _ in range(3)]
+    med = float(np.median(pipe))
     tpu_solves_per_s = BATCH / med
-    best_solves_per_s = BATCH / min(times)
+    best_solves_per_s = BATCH / min(pipe)
 
     note = ""
     if tpu_solves_per_s < FLOOR_SOLVES_PER_S:
@@ -160,7 +177,8 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(tpu_solves_per_s / REF_SOLVES_PER_S, 3),
         "best": round(best_solves_per_s, 3),
-        "rep_times_s": [round(t, 6) for t in times],
+        "pipelined_rep_s": [round(t, 6) for t in pipe],
+        "blocking_rep_s": [round(t, 6) for t in times],
         "spread": round(float(spread), 4),
         "retried": retried,
     }
