@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _measure(engine, run, goal, batch, n_iter, *, best_of=False,
-             label="", mesh=None, reps=2):
+             label="", mesh=None, reps=4):
     import jax
     import jax.numpy as jnp
     import numpy as np
