@@ -70,27 +70,14 @@ def build(mod_dtype, n_points):
     return mod, mod.runs[h], goal
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache (same dir as __graft_entry__): the
-    driver runs bench.py in a fresh process; warm compiles cut minutes
-    off the wall and shrink the window for claim contention."""
-    import os
-
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(
-                              os.path.abspath(__file__)), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception:
-        pass  # an optimization, never a requirement
-
-
 def main():
     import jax
     import jax.numpy as jnp
+
+    # persistent XLA compile cache: the driver runs bench.py in a fresh
+    # process; warm compiles cut minutes off the wall and shrink the
+    # window for claim contention (shared helper with the driver entry)
+    from __graft_entry__ import _enable_compile_cache
 
     _enable_compile_cache()
 

@@ -35,9 +35,12 @@ def collective_bytes(hlo: str):
     """Every collective op in an optimized HLO module, with the bytes
     it moves (output shape size)."""
     out = []
+    # shape may be a single array OR a tuple `(f32[..], f32[..])` from
+    # XLA's collective-combiner passes — `\S+` alone misses the tuple's
+    # internal spaces and silently drops combined collectives
     for m in re.finditer(
-            r"%?(\S+) = (\S+) (all-reduce|all-gather|reduce-scatter|"
-            r"collective-permute|all-to-all)\(", hlo):
+            r"%?(\S+) = (\([^)]*\)|\S+) (all-reduce|all-gather|"
+            r"reduce-scatter|collective-permute|all-to-all)\(", hlo):
         name, shape, kind = m.groups()
         nbytes = 0
         for st in re.finditer(r"\b(f32|bf16|f64|s32|u32|pred|s8|u8)"

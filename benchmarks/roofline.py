@@ -99,9 +99,6 @@ def main():
             r"%(\S+) = (\([^=]*?\)|\S+) (fusion|convolution|dot|"
             r"gather|reduce|transpose|copy)\((.*)$", hlo, re.M):
         name, shape, kind, rest = m_.groups()
-        if "while" not in rest and "while/body" not in rest:
-            # keep everything; prologue ops have no while/body op_name
-            pass
         nbytes = shape_bytes(shape)
         ph = phase_of(rest)
         inbody = "while/body" in rest

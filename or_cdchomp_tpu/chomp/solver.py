@@ -22,7 +22,6 @@ the problem batch is ``vmap`` + sharding (see parallel/).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -81,9 +81,13 @@ def _floats(text):
     return [float(v) for v in text.replace(",", " ").split()]
 
 
-def _pose_of_elem(el, body_world, frame_shift):
+def _pose_of_elem(el, body_world):
     """Accumulate transform child elements of ``el`` in document order
-    into a pose7, resolving <offsetfrom> against known body poses."""
+    into a pose7, resolving <offsetfrom> against known body poses.
+
+    Runs in pass 1 (before any joint re-roots a frame), so body poses
+    here are exactly the frames the XML coordinates were written in.
+    """
     pose = np_pose.POSE_ID.copy()
     base = np_pose.POSE_ID.copy()
     for ch in el:
@@ -95,13 +99,6 @@ def _pose_of_elem(el, body_world, frame_shift):
                     f"<offsetfrom>{ref}</offsetfrom> references an "
                     "unknown body (bodies must be declared first)")
             base = body_world[ref].copy()
-            # the referenced body's frame was re-rooted at its joint
-            # anchor: coordinates written against the ORIGINAL frame
-            # need the same shift
-            sh = frame_shift.get(ref)
-            if sh is not None:
-                base = np_pose.compose(
-                    base, np.concatenate([-sh, [0, 0, 0, 1]]))
         elif tag == "translation":
             v = _floats(ch.text)
             pose = np_pose.compose(
@@ -146,6 +143,7 @@ def parse_robot_xml(source, *, name=None, active=None, search_paths=()):
     bodies = []          # (name, element) in document order
     joints = []          # joint elements in document order
     manip = None
+    sphere_sources = [root]   # roots whose <orcdchomp><spheres> count
 
     def walk(el):
         nonlocal manip
@@ -165,6 +163,7 @@ def parse_robot_xml(source, *, name=None, active=None, search_paths=()):
                             "external OpenRAVE data file; pass "
                             "search_paths=[...] so it can be resolved")
                     sub = ET.parse(path).getroot()
+                    sphere_sources.append(sub)
                     walk(sub)
                 walk(ch)
             elif tag == "body":
@@ -183,7 +182,7 @@ def parse_robot_xml(source, *, name=None, active=None, search_paths=()):
     body_world = {}
     frame_shift = {}     # body → anchor shift applied to its frame
     for bname, el in bodies:
-        body_world[bname] = _pose_of_elem(el, body_world, frame_shift)
+        body_world[bname] = _pose_of_elem(el, body_world)
 
     # pass 2: joints
     jrows = []
@@ -283,11 +282,19 @@ def parse_robot_xml(source, *, name=None, active=None, search_paths=()):
     # root shift: express everything relative to the root's world pose
     # (RobotModel poses the root at the Robot's world pose at runtime)
 
-    # spheres (shift into re-rooted frames)
-    try:
-        sph = parse_spheres_xml(text)
-    except ValueError:
-        sph = []
+    # spheres, from the top-level document AND every resolved
+    # <KinBody file=…> include (OpenRAVE merges included kinbody
+    # content), shifted into re-rooted frames.  Only the benign
+    # "no <orcdchomp> tag" case is tolerated — a malformed sphere
+    # block must not silently yield a collision-blind model.
+    sph = []
+    for src in sphere_sources:
+        try:
+            sph.extend(parse_spheres_xml(
+                ET.tostring(src, encoding="unicode")))
+        except ValueError as exc:
+            if "no spheres" not in str(exc):
+                raise
     sph_rows = []
     for link, pos, radius in sph:
         p = np.asarray(pos, dtype=np.float64)
@@ -296,24 +303,47 @@ def parse_robot_xml(source, *, name=None, active=None, search_paths=()):
             p = p - sh
         sph_rows.append((link, tuple(p), radius))
 
-    # manipulator → ee link + tool transform
+    # manipulator → ee link + tool transform (+ arm-chain base)
     ee_link = None
     ee_origin = None
+    manip_base = None
     if manip is not None:
         for ch in manip:
             tag = ch.tag.lower()
             if tag == "effector":
                 ee_link = ch.text.strip()
+            elif tag == "base":
+                manip_base = ch.text.strip()
             elif tag == "translation":
                 v = _floats(ch.text)
                 ee_origin = np.array(v + [0, 0, 0, 1], dtype=np.float64)
-        if ee_link is not None and ee_link in frame_shift and \
-                ee_origin is not None:
+        if ee_link is not None and ee_link in frame_shift:
+            if ee_origin is None:
+                # the effector frame was re-rooted at its joint anchor;
+                # OpenRAVE's effector point is the BODY origin, which
+                # now sits at −anchor in the re-rooted frame
+                ee_origin = np.array([0, 0, 0, 0, 0, 0, 1.0])
             ee_origin[:3] -= frame_shift[ee_link]
 
     model = RobotModel.from_joints(
         rname, order, jrows, spheres=sph_rows,
         ee_link=ee_link, ee_origin=ee_origin)
+
+    if active is None and manip is not None and ee_link is not None:
+        # default active DOFs = the manipulator's arm chain (OpenRAVE
+        # GetArmIndices semantics, the set test_wam7.py:52 activates):
+        # the enabled joints on the path effector → <base> (or root),
+        # ordered base→tip
+        child_to_joint = {j["child"]: j for j in jrows}
+        chain = []
+        b = ee_link
+        while b in child_to_joint and b != manip_base:
+            j = child_to_joint[b]
+            if j["type"] != "fixed":
+                chain.append(j["name"])
+            b = j["parent"]
+        active = list(reversed(chain))
+
     if active is not None:
         model = model.set_active(active)
     return model

@@ -24,16 +24,32 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
+    def build():
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
+            subprocess.run(["make", "-B", "-C", _DIR], check=True,
                            capture_output=True, timeout=120)
+            return True
         except (subprocess.SubprocessError, FileNotFoundError):
-            return None
+            return False
+
+    if not os.path.exists(_SO) and not build():
+        return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
+    # a stale .so (built before newer entry points existed) must not
+    # crash the declarations below with AttributeError — rebuild once,
+    # else fall back to the pure-Python paths
+    if not hasattr(lib, "cdx_voxelize_tris"):
+        if not build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        if not hasattr(lib, "cdx_voxelize_tris"):
+            return None
     lib.cdx_shparse.restype = ctypes.c_int
     lib.cdx_shparse.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                 ctypes.c_int64,
@@ -183,9 +199,13 @@ def voxelize_native(scenes, scene_poses, pose_world_gsdf, sizes, lengths,
         g_from_scene = np_pose.compose(gsdf_from_world,
                                        np.asarray(pose, dtype=np.float64))
         tv = np.asarray(sc.tri_verts, np.float64)
-        for i in range(tv.shape[0]):
-            tris.append(np.stack([np_pose.apply(g_from_scene, tv[i, k])
-                                  for k in range(3)]))
+        if tv.shape[0]:
+            # one vectorized transform for all 3·T vertices (a Python
+            # per-vertex loop costs seconds on 10k-triangle meshes)
+            from or_cdchomp_tpu.tsr import quat_to_R_np
+            R = quat_to_R_np(g_from_scene[3:])
+            tris.append(tv.reshape(-1, 3) @ R.T
+                        + g_from_scene[:3])
         for i in range(np.asarray(sc.box_pose).shape[0]):
             box_pose.append(np_pose.compose(
                 g_from_scene, np.asarray(sc.box_pose, np.float64)[i]))
@@ -213,10 +233,11 @@ def voxelize_native(scenes, scene_poses, pose_world_gsdf, sizes, lengths,
     if rc != 0:
         raise RuntimeError(f"cdx_voxelize failed: {rc}")
     if tris:
+        tri_arr = np.concatenate(tris, axis=0).reshape(-1, 9)
         rc = lib.cdx_voxelize_tris(
             sizes[0], sizes[1], sizes[2], _dp(lengths64),
-            float(cube_extent), len(tris),
-            _dp(np.asarray(tris).reshape(-1, 9)), int(n_threads),
+            float(cube_extent), tri_arr.shape[0],
+            _dp(tri_arr), int(n_threads),
             occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
             raise RuntimeError(f"cdx_voxelize_tris failed: {rc}")

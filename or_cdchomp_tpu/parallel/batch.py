@@ -17,7 +17,6 @@ problem as a pytree row and solves thousands at once:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -159,6 +159,62 @@ def test_active_selection():
     np.testing.assert_allclose(model.dof_limits_lower, [np.deg2rad(-90)])
 
 
+def test_manipulator_default_active_excludes_offchain_joints():
+    """active=None with a <Manipulator> selects the arm chain only
+    (GetArmIndices semantics) — an enabled joint off the effector path
+    (a 'finger') is frozen, not a DOF."""
+    xml = MINI.replace(
+        "<orcdchomp>",
+        """<Body name="finger">
+             <offsetfrom>link2</offsetfrom>
+             <Translation>0.05 0.05 0</Translation>
+           </Body>
+           <Joint name="jf" type="hinge">
+             <Body>link2</Body><Body>finger</Body>
+             <offsetfrom>finger</offsetfrom>
+             <axis>0 0 1</axis>
+             <limitsdeg>0 90</limitsdeg>
+           </Joint>
+           <orcdchomp>""")
+    model = parse_robot_xml(xml)
+    assert model.dof_names == ("j1", "j2")    # jf frozen
+    assert "finger" in model.link_names
+    # explicit active still wins
+    model2 = parse_robot_xml(xml, active=["j1", "j2", "jf"])
+    assert model2.n_dof == 3
+
+
+def test_spheres_from_included_file(tmp_path):
+    """<orcdchomp><spheres> payloads inside a resolved <KinBody file=…>
+    include must be collected (OpenRAVE merges included content)."""
+    inner = """<KinBody name="inner">
+      <Body name="base"/>
+      <Body name="l1">
+        <offsetfrom>base</offsetfrom><Translation>0 0 0.5</Translation>
+      </Body>
+      <Joint name="j1" type="hinge">
+        <Body>base</Body><Body>l1</Body>
+        <offsetfrom>l1</offsetfrom><axis>0 0 1</axis>
+        <limitsdeg>-90 90</limitsdeg>
+      </Joint>
+      <orcdchomp><spheres>
+        <sphere link="l1" pos="0 0 0.1" radius="0.07"/>
+      </spheres></orcdchomp>
+    </KinBody>"""
+    (tmp_path / "inner.xml").write_text(inner)
+    outer = """<Robot name="r"><KinBody>
+      <KinBody file="inner.xml"/>
+    </KinBody></Robot>"""
+    model = parse_robot_xml(outer, search_paths=[str(tmp_path)])
+    np.testing.assert_allclose(model.sphere_radius, [0.07])
+
+
+def test_malformed_spheres_raise():
+    xml = MINI.replace('pos="0 0 0.1"', 'pos="0 0"')
+    with pytest.raises(ValueError):
+        parse_robot_xml(xml)
+
+
 def test_file_include_requires_search_path(tmp_path):
     xml = """<Robot name="r"><KinBody>
       <KinBody file="robots/wam7.kinbody.xml"/>
