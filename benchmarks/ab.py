@@ -65,6 +65,7 @@ def main():
         "selfcol_pairs_oh": {"selfcol": "pairs_oh"},
         "selfcol_sym": {"selfcol": "sym"},
         "selfcol_symv": {"selfcol": "symv"},
+        "selfcol_xla2": {"selfcol": "xla2"},
         "spd_8_128": {"selfcol": "pallas_dense", "tm": 8, "tb": 128},
         "spd_8_256": {"selfcol": "pallas_dense", "tm": 8, "tb": 256},
         "spd_16_128": {"selfcol": "pallas_dense", "tm": 16, "tb": 128},

@@ -601,6 +601,23 @@ def _selfcol_soa(spec: ChompSpec, same_link, radii_act, radii_all,
     inv_v2 = jnp.where(safe, 1.0 / jnp.where(safe, v2, 1.0), 0.0)
     w2 = w1 * b_ * inv_v2[:, :, None, :]
 
+    if method == "xla2":
+        # fewer reduced quantities: fold the factored 13 sums into 7
+        # direct per-component integrands (outgoing Σ_j g'_c, incoming
+        # Σ_i g'_c, cost) so XLA's sibling reduce grouping re-derives
+        # the w1/w2 pair pipeline fewer times (the measured r5 wall
+        # mechanism; see BENCHMARKS.md)
+        w1a = w1[:, :, :Sa]
+        w2a = w2[:, :, :Sa]
+        net = tuple(
+            jnp.sum(w1 * (x_i[ci][:, :, None, :]
+                          - x_o[ci][:, None, :, :])
+                    - w2 * vel[ci][:, :, None, :], axis=2)
+            - jnp.sum(w1a * (x_i[ci][:, :, None, :]
+                             - x_i[ci][:, None, :, :])
+                      - w2a * vel[ci][:, :, None, :], axis=1)
+            for ci in range(3))
+        return c_self, net
     w1a = w1[:, :, :Sa]
     w2a = w2[:, :, :Sa]
     r1 = jnp.sum(w1, axis=2)                               # (m, Sa, B)

@@ -71,7 +71,7 @@ def _both(args, method="pairs"):
     assert float(c_ref[0]) > 0.0  # the scene must actually collide
 
 
-METHODS = ["pairs", "pairs_oh", "sym", "symv"]
+METHODS = ["pairs", "pairs_oh", "sym", "symv", "xla2"]
 
 
 @pytest.mark.parametrize("method", METHODS)
