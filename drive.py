@@ -30,7 +30,7 @@ print(f"[{time.time()-t0:.1f}s] final cost {cost[0]:.3f} (expect ~26.5)",
       flush=True)
 t1 = time.time()
 mod.iterate(run=h, n_iter=100)
-print(f"warm iterate(100): {time.time()-t1:.2f}s (expect 2.5-3.5 on TPU)",
+print(f"warm iterate(100): {time.time()-t1:.2f}s (expect 0.2-0.5 on TPU)",
       flush=True)
 mod.destroy(run=h)
 print("DRIVE OK", flush=True)
