@@ -105,6 +105,33 @@ def test_native_tri_voxelize_matches_ingraph():
     np.testing.assert_array_equal(occ_nat.astype(bool), occ_jax)
 
 
+def test_grab_mesh_body_bounding_sphere():
+    """Grabbing a mesh-scene body attaches its bounding sphere as a
+    robot collision sphere (orcdchomp_mod.cpp:2200-2208 semantics —
+    grabbed geometry rides the grabbing link)."""
+    import or_cdchomp_tpu as oc
+    from or_cdchomp_tpu.api import KinBody, Robot
+
+    mv, mf = cylinder_trimesh(0.04, 0.06, n=12)
+    mug = KinBody("mug", oc.Scene.build(
+        meshes=[(POSE_ID, mv, mf)], dtype=jnp.float64),
+        pose=np.array([0.5, 0.0, 0.8, 0, 0, 0, 1.0]))
+    mod = oc.CHOMPModule(dtype=jnp.float64)
+    mod.add_kinbody(mug)
+    r = Robot("wam", oc.wam7(),
+              q_active=np.array([2.5, -1.8, 0.0, 2.0, 0.0, 0.2, 0.0]))
+    mod.add_robot(r)
+    n_before = len(r.model.sphere_radius)
+    r.grab(mug, "wam7")
+    assert len(r.model.sphere_radius) == n_before + 1
+    # the bounding sphere of the n-gon cylinder mesh
+    expect_r = float(np.sqrt(0.04 ** 2 + 0.06 ** 2))
+    np.testing.assert_allclose(
+        float(r.model.sphere_radius[-1]), expect_r, rtol=1e-6)
+    r.release(mug)
+    assert len(r.model.sphere_radius) == n_before
+
+
 def test_mesh_scene_end_to_end_demo_shape():
     """The reference demo scene (table + mug) as triangle meshes:
     computedistancefield → solve → collision-free gettraj, and the SDF
