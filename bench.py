@@ -33,11 +33,12 @@ REF_SOLVES_PER_S = 0.5  # documented ESTIMATE, not a measurement — see
 # never run.  vs_baseline therefore carries estimate uncertainty.
 REPS = 5            # timed reps per attempt (median is the headline)
 SPREAD_TOL = 0.15   # (max-min)/median above this triggers one retry
-# Plausibility floor: this exact workload measured 2803 (r3) / 4372
-# (r4, judge re-run) solves/s on an uncontended chip.  A median far
-# below that means the *capture* failed (contended/cold chip), not the
-# code; flag it loudly in the JSON instead of recording it silently.
-FLOOR_SOLVES_PER_S = 2500.0
+# Plausibility floor: this exact workload measured 4995-5050 solves/s
+# (r5 pipelined, multiple same-day captures; 4372 at the r4 HEAD).  A
+# median far below means the *capture* failed (contended/cold chip),
+# not the code; flag it loudly in the JSON instead of recording it
+# silently.  Set ~30% under the weakest healthy capture.
+FLOOR_SOLVES_PER_S = 3500.0
 
 
 def build(mod_dtype, n_points):

@@ -33,6 +33,7 @@ def main():
     import numpy as np
 
     from benchmarks import configs as C
+    from or_cdchomp_tpu.chomp import constraints as cons_mod
     from or_cdchomp_tpu.chomp import cost_soa
     from or_cdchomp_tpu.ops import grid
     from or_cdchomp_tpu.parallel.batch import problem_batch_from_grid
@@ -80,6 +81,12 @@ def main():
         "abl_lookup": {"ablate": {"lookup"}},
         "abl_jtmap": {"ablate": {"jtmap"}},
         "abl_limits": {"ablate": {"limits"}},
+        "abl_constraint": {"ablate": {"constraint"}},
+        "abl_con_eval": {"ablate": {"constraint_eval"}},
+        "abl_con_proj": {"ablate": {"constraint_proj"}},
+        "sss_u4": {"sss_unroll": 4},
+        "sss_u7": {"sss_unroll": 7},
+        "sss_u49": {"sss_unroll": 49},
         "stack0": {"stack": False},
         "bf16": {"bf16": True},
         "bf16_L128": {"bf16": True, "L": 128},
@@ -94,6 +101,7 @@ def main():
     base["tm"], base["tb"] = pallas_selfcol._TM, pallas_selfcol._TB
     base["stack"] = grid._LOOKUP4_STACK
     base["bf16"] = grid._LOOKUP4_BF16
+    base["sss_unroll"] = cons_mod._SSS_UNROLL
     try:
         for arm in args.arms.split(","):
             cfg = ARMS[arm]
@@ -105,6 +113,8 @@ def main():
             pallas_selfcol._TB = cfg.get("tb", base["tb"])
             grid._LOOKUP4_STACK = cfg.get("stack", base["stack"])
             grid._LOOKUP4_BF16 = cfg.get("bf16", base["bf16"])
+            cons_mod._SSS_UNROLL = cfg.get("sss_unroll",
+                                           base["sss_unroll"])
             fn = jax.jit(lambda p: eng.iterate_batched_nojit(p, args.n_iter))
             try:
                 out, _ = fn(probs)
@@ -135,6 +145,7 @@ def main():
         pallas_selfcol._TB = base["tb"]
         grid._LOOKUP4_STACK = base["stack"]
         grid._LOOKUP4_BF16 = base["bf16"]
+        cons_mod._SSS_UNROLL = base["sss_unroll"]
 
 
 if __name__ == "__main__":

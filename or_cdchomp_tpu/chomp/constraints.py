@@ -30,6 +30,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec
+
+import os as _os
+
+# scan unroll factor for the quasiseparable projection solve: each of
+# the two C-length scans carries tiny (n, n)/(k,) state, so the wall is
+# per-iteration loop overhead, not compute.  Measured on the config-4
+# step (C=49, batch 256): unroll 1 → 683 µs, 4 → 627, 7 → 633,
+# full → 552 (+24% solves/s) — partial unrolls keep most of the loop
+# overhead, so AUTO (0) fully unrolls up to _SSS_UNROLL_MAX points and
+# falls back to 8 beyond (compile time grows with the unroll).
+_SSS_UNROLL = int(_os.environ.get("CDX_SSS_UNROLL", "0"))
+_SSS_UNROLL_MAX = 128
+
+
+def _sss_unroll(C):
+    if _SSS_UNROLL > 0:
+        return min(_SSS_UNROLL, C)
+    return C if C <= _SSS_UNROLL_MAX else 8
 from or_cdchomp_tpu.ops import quat as qt
 from or_cdchomp_tpu.ops import spatial as sp
 
@@ -143,7 +161,8 @@ def _sss_solve(J, h, alpha, beta):
     P0 = jnp.zeros((n, n), J.dtype)
     s0 = jnp.zeros((n,), J.dtype)
     _, (Ls, ZTs, Vs, ys) = jax.lax.scan(
-        fwd, (P0, s0), (J, h, alpha.astype(J.dtype), beta.astype(J.dtype)))
+        fwd, (P0, s0), (J, h, alpha.astype(J.dtype), beta.astype(J.dtype)),
+        unroll=_sss_unroll(C))
 
     def bwd(t, inp):
         Lr, ZT, Vb, yv = inp
@@ -155,7 +174,8 @@ def _sss_solve(J, h, alpha, beta):
         return t2, xv
 
     t0 = jnp.zeros((n,), J.dtype)
-    _, xs = jax.lax.scan(bwd, t0, (Ls, ZTs, Vs, ys), reverse=True)
+    _, xs = jax.lax.scan(bwd, t0, (Ls, ZTs, Vs, ys), reverse=True,
+                         unroll=_sss_unroll(C))
     return xs                                              # (C, k)
 
 

@@ -449,7 +449,7 @@ class ChompEngine:
         # constraint projection (chomp.c:553-600): the TSR chains run in
         # vmapped AoS on the reconstructed reduced poses/anchors — their
         # tensors are (C, 6, n)-sized, far off the SoA hot path
-        if self.cons.k_total:
+        if self.cons.k_total and "constraint" not in _ablate:
             from or_cdchomp_tpu.chomp.cost import TrajKinematics
 
             with jax.named_scope("constraint"):
@@ -466,15 +466,28 @@ class ChompEngine:
                     return eval_tsr_all(spec, self.fk, p, traj,
                                         self.cons, kin)
 
-                val, jac = jax.vmap(eval_one)(
-                    probs.traj, red_aos, anch_aos, probs)
+                if "constraint_eval" in _ablate:
+                    # measurement-only: input-dependent stand-ins of
+                    # the right shapes; the whole eval chain is dead
+                    # code and drops out of the compile
+                    Bn = probs.traj.shape[0]
+                    C = self.cons.n_constraints
+                    n = spec.n
+                    seed = 1e-6 * jnp.mean(T_mov)
+                    val = jnp.full((Bn, C, 6), 0.0, T_mov.dtype) + seed
+                    jac = jnp.full((Bn, C, 6, n), 0.0,
+                                   T_mov.dtype) + seed
+                else:
+                    val, jac = jax.vmap(eval_one)(
+                        probs.traj, red_aos, anch_aos, probs)
 
                 def proj_one(lam_, ag, tm, v, j):
                     return project_constraints(
                         spec, self.cons, self, lam_, ag, tm, v, j)
 
-                T_mov = T_mov + jax.vmap(proj_one)(
-                    lam, AG_new, T_mov, val, jac)
+                if "constraint_proj" not in _ablate:
+                    T_mov = T_mov + jax.vmap(proj_one)(
+                        lam, AG_new, T_mov, val, jac)
 
         T_mov = T_mov - AG_new / lam[:, None, None]
 
