@@ -35,6 +35,7 @@ def main():
     from benchmarks import configs as C
     from or_cdchomp_tpu.chomp import constraints as cons_mod
     from or_cdchomp_tpu.chomp import cost_soa
+    from or_cdchomp_tpu.chomp import solver as solver_mod
     from or_cdchomp_tpu.ops import grid
     from or_cdchomp_tpu.parallel.batch import problem_batch_from_grid
 
@@ -84,6 +85,8 @@ def main():
         "abl_constraint": {"ablate": {"constraint"}},
         "abl_con_eval": {"ablate": {"constraint_eval"}},
         "abl_con_proj": {"ablate": {"constraint_proj"}},
+        "abl_con_math": {"ablate": {"constraint_math"}},
+        "tsr_aos": {"tsr_eval": "aos"},
         "sss_u4": {"sss_unroll": 4},
         "sss_u7": {"sss_unroll": 7},
         "sss_u49": {"sss_unroll": 49},
@@ -102,6 +105,7 @@ def main():
     base["stack"] = grid._LOOKUP4_STACK
     base["bf16"] = grid._LOOKUP4_BF16
     base["sss_unroll"] = cons_mod._SSS_UNROLL
+    base["tsr_eval"] = solver_mod._TSR_EVAL
     try:
         for arm in args.arms.split(","):
             cfg = ARMS[arm]
@@ -115,6 +119,7 @@ def main():
             grid._LOOKUP4_BF16 = cfg.get("bf16", base["bf16"])
             cons_mod._SSS_UNROLL = cfg.get("sss_unroll",
                                            base["sss_unroll"])
+            solver_mod._TSR_EVAL = cfg.get("tsr_eval", base["tsr_eval"])
             fn = jax.jit(lambda p: eng.iterate_batched_nojit(p, args.n_iter))
             try:
                 out, _ = fn(probs)
@@ -146,6 +151,7 @@ def main():
         grid._LOOKUP4_STACK = base["stack"]
         grid._LOOKUP4_BF16 = base["bf16"]
         cons_mod._SSS_UNROLL = base["sss_unroll"]
+        solver_mod._TSR_EVAL = base["tsr_eval"]
 
 
 if __name__ == "__main__":

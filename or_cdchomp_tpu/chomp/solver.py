@@ -30,7 +30,14 @@ import numpy as np
 
 from or_cdchomp_tpu.chomp import cost as cost_mod
 from or_cdchomp_tpu.chomp.constraints import (
-    TSRConstraintSet, eval_tsr_all, project_constraints)
+    TSRConstraintSet, eval_tsr_all, eval_tsr_all_soa, project_constraints)
+
+import os as _os_mod
+
+# TSR-evaluation backend for the batch-native step: "soa" (default,
+# batch-minor component form) or "aos" (the vmapped per-problem chain;
+# kept A/B-able — see BENCHMARKS.md round 5)
+_TSR_EVAL = _os_mod.environ.get("CDX_TSR_EVAL", "soa")
 from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec, HmcState
 from or_cdchomp_tpu.ops import quat as qt
 
@@ -446,40 +453,57 @@ class ChompEngine:
                 AG_new = AG + scale * self.solve_A_b(G)
                 leap = jnp.zeros_like(hmc.leapfrog_first)
 
-        # constraint projection (chomp.c:553-600): the TSR chains run in
-        # vmapped AoS on the reconstructed reduced poses/anchors — their
-        # tensors are (C, 6, n)-sized, far off the SoA hot path
+        # constraint projection (chomp.c:553-600): evaluation runs
+        # batch-native (eval_tsr_all_soa — the vmapped-AoS chain ran
+        # at ~5% lane utilization on its (…, 6, 7)-minor tiles plus
+        # stack_pose_aos relayouts; CDX_TSR_EVAL=aos keeps the old
+        # path A/B-able); the projection solve stays vmapped per
+        # problem on small (C, k) blocks
         if self.cons.k_total and "constraint" not in _ablate:
-            from or_cdchomp_tpu.chomp.cost import TrajKinematics
-
             with jax.named_scope("constraint"):
-                red_aos = cost_soa.stack_pose_aos(
-                    fk_out.red_pos, fk_out.red_q)     # (B, n_points, R, 7)
-                anch_aos = cost_soa.stack_pose_aos(
-                    fk_out.anch_pos, fk_out.anch_q)   # (B, n_points, D, 7)
-
-                def eval_one(traj, red, anch, p):
-                    z = traj[:0]
-                    kin = TrajKinematics(
-                        x_all=z, x_mov=z, vel=z, acc=z, anchors_mov=z,
-                        base_mov=z, red_poses=red, anchors=anch)
-                    return eval_tsr_all(spec, self.fk, p, traj,
-                                        self.cons, kin)
-
-                if "constraint_eval" in _ablate:
+                if ("constraint_eval" in _ablate
+                        or "constraint_math" in _ablate):
                     # measurement-only: input-dependent stand-ins of
-                    # the right shapes; the whole eval chain is dead
-                    # code and drops out of the compile
+                    # the right shapes; "constraint_eval" drops the
+                    # whole chain (incl. any relayouts),
+                    # "constraint_math" keeps the AoS relayouts live so
+                    # their wall can be separated from the chain math
                     Bn = probs.traj.shape[0]
                     C = self.cons.n_constraints
                     n = spec.n
                     seed = 1e-6 * jnp.mean(T_mov)
+                    if "constraint_math" in _ablate:
+                        red_aos = cost_soa.stack_pose_aos(
+                            fk_out.red_pos, fk_out.red_q)
+                        anch_aos = cost_soa.stack_pose_aos(
+                            fk_out.anch_pos, fk_out.anch_q)
+                        seed = seed + 1e-9 * (jnp.mean(red_aos)
+                                              + jnp.mean(anch_aos))
                     val = jnp.full((Bn, C, 6), 0.0, T_mov.dtype) + seed
                     jac = jnp.full((Bn, C, 6, n), 0.0,
                                    T_mov.dtype) + seed
-                else:
+                elif _TSR_EVAL == "aos":
+                    from or_cdchomp_tpu.chomp.cost import TrajKinematics
+
+                    red_aos = cost_soa.stack_pose_aos(
+                        fk_out.red_pos, fk_out.red_q)  # (B, n_pts, R, 7)
+                    anch_aos = cost_soa.stack_pose_aos(
+                        fk_out.anch_pos, fk_out.anch_q)
+
+                    def eval_one(traj, red, anch, p):
+                        z = traj[:0]
+                        kin = TrajKinematics(
+                            x_all=z, x_mov=z, vel=z, acc=z, anchors_mov=z,
+                            base_mov=z, red_poses=red, anchors=anch)
+                        return eval_tsr_all(spec, self.fk, p, traj,
+                                            self.cons, kin)
+
                     val, jac = jax.vmap(eval_one)(
                         probs.traj, red_aos, anch_aos, probs)
+                else:
+                    val, jac = eval_tsr_all_soa(
+                        spec, self.fk, probs, probs.traj, self.cons,
+                        fk_out)
 
                 def proj_one(lam_, ag, tm, v, j):
                     return project_constraints(
