@@ -698,22 +698,48 @@ def total_cost_grad_batched(spec: ChompSpec, fk, fields: FieldStack,
         G_arm = jnp.transpose(G_arm, (2, 0, 1))        # (B, m, n_arm)
         if spec.floating_base:
             # base block (orcdchomp_mod.cpp:1050-1086): Jᵀw =
-            # damp·(Jsp[:3]ᵀ Σ(x×w) + Jsp[3:]ᵀ Σw); the (m,6,7)
-            # spatial Jacobian is tiny, so it runs in plain batched AoS
-            # on the reconstructed base poses
-            from or_cdchomp_tpu.ops import spatial as sp
-
+            # damp·(Jsp[:3]ᵀ Σ(x×w) + Jsp[3:]ᵀ Σw), computed
+            # component-wise with the batch on lanes — the AoS
+            # (B, m, 6, 7) spatial-Jacobian tensor pads its trailing
+            # 6×7 dims to (8, 128) vector tiles (~5% lane utilization,
+            # the same pathology as the r5 TSR-eval rewrite)
             xw = soa.cross(x_mov, w)
-            sxw = jnp.stack([jnp.transpose(jnp.sum(c, axis=1))
-                             for c in xw], axis=-1)     # (B, m, 3)
-            sw = jnp.stack([jnp.transpose(jnp.sum(c, axis=1))
-                            for c in w], axis=-1)       # (B, m, 3)
+            s1 = tuple(jnp.sum(c, axis=1) for c in xw)  # (m, B) ×3
+            s2 = tuple(jnp.sum(c, axis=1) for c in w)
             m = spec.m
-            base_mov = probs.traj[:, 1:1 + m, :7]       # (B, m, 7)
-            Jsp = sp.pose_jac(base_mov)                 # (B, m, 6, 7)
-            G_base = _BASE_JAC_DAMP * (
-                jnp.sum(Jsp[:, :, 0:3] * sxw[:, :, :, None], axis=2)
-                + jnp.sum(Jsp[:, :, 3:6] * sw[:, :, :, None], axis=2))
+            bp = tuple(jnp.transpose(probs.traj[:, 1:1 + m, i])
+                       for i in range(7))               # (m, B) ×7
+            bx, by, bz = bp[0], bp[1], bp[2]
+            qx2, qy2 = 2.0 * bp[3], 2.0 * bp[4]
+            qz2, qw2 = 2.0 * bp[5], 2.0 * bp[6]
+            # pose_jac rows (spatial.c:295-337): rows 0-2 angular
+            # (couple to s1), rows 3-5 linear (couple to s2);
+            # Gb[j] = Σ_r Jsp[r][j]·s[r]
+            a0, a1, a2 = s1
+            l0, l1, l2 = s2
+            Gb = [
+                l0,
+                l1,
+                l2,
+                qw2 * a0 + qz2 * a1 - qy2 * a2
+                + (-bz * qz2 - by * qy2) * l0
+                + (bz * qw2 + bx * qy2) * l1
+                + (-by * qw2 + bx * qz2) * l2,
+                -qz2 * a0 + qw2 * a1 + qx2 * a2
+                + (-bz * qw2 + by * qx2) * l0
+                + (-bz * qz2 - bx * qx2) * l1
+                + (by * qz2 + bx * qw2) * l2,
+                qy2 * a0 - qx2 * a1 + qw2 * a2
+                + (bz * qx2 + by * qw2) * l0
+                + (bz * qy2 - bx * qw2) * l1
+                + (-by * qy2 - bx * qx2) * l2,
+                -qx2 * a0 - qy2 * a1 - qz2 * a2
+                + (bz * qy2 - by * qz2) * l0
+                + (-bz * qx2 + bx * qz2) * l1
+                + (by * qx2 - bx * qy2) * l2,
+            ]
+            G_base = _BASE_JAC_DAMP * jnp.transpose(
+                jnp.stack(Gb), (2, 1, 0))               # (B, m, 7)
             G = jnp.concatenate([G_base, G_arm], axis=-1) / spec.m
         else:
             G = G_arm / spec.m                          # (B, m, n)
