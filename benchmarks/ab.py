@@ -60,6 +60,9 @@ def main():
         "lookup4b": {"lookup": "4b"},
         "L32": {"L": 32},
         "L64": {"L": 64},
+        "L96": {"L": 96},
+        "iter_u2": {"iter_unroll": 2},
+        "iter_u4": {"iter_unroll": 4},
         "L128": {"L": 128},
         "L256": {"L": 256},
         "selfcol_pallas": {"selfcol": "pallas"},
@@ -106,6 +109,7 @@ def main():
     base["bf16"] = grid._LOOKUP4_BF16
     base["sss_unroll"] = cons_mod._SSS_UNROLL
     base["tsr_eval"] = solver_mod._TSR_EVAL
+    base["iter_unroll"] = solver_mod._ITER_UNROLL
     try:
         for arm in args.arms.split(","):
             cfg = ARMS[arm]
@@ -120,6 +124,8 @@ def main():
             cons_mod._SSS_UNROLL = cfg.get("sss_unroll",
                                            base["sss_unroll"])
             solver_mod._TSR_EVAL = cfg.get("tsr_eval", base["tsr_eval"])
+            solver_mod._ITER_UNROLL = cfg.get("iter_unroll",
+                                              base["iter_unroll"])
             fn = jax.jit(lambda p: eng.iterate_batched_nojit(p, args.n_iter))
             try:
                 out, _ = fn(probs)
@@ -152,6 +158,7 @@ def main():
         grid._LOOKUP4_BF16 = base["bf16"]
         cons_mod._SSS_UNROLL = base["sss_unroll"]
         solver_mod._TSR_EVAL = base["tsr_eval"]
+        solver_mod._ITER_UNROLL = base["iter_unroll"]
 
 
 if __name__ == "__main__":

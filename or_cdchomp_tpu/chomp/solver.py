@@ -38,6 +38,12 @@ import os as _os_mod
 # batch-minor component form) or "aos" (the vmapped per-problem chain;
 # kept A/B-able — see BENCHMARKS.md round 5)
 _TSR_EVAL = _os_mod.environ.get("CDX_TSR_EVAL", "soa")
+# unroll factor for the n_iter solve scan (measurement knob: the step
+# body is ~500 us at flagship batch, so per-iteration loop overhead
+# should be noise — this knob lets the A/B harness confirm that
+# instead of assuming it; cf. the constraint-scan unroll which was
+# +24% because its body was tiny)
+_ITER_UNROLL = int(_os_mod.environ.get("CDX_ITER_UNROLL", "1"))
 from or_cdchomp_tpu.chomp.problem import ChompProblem, ChompSpec, HmcState
 from or_cdchomp_tpu.ops import quat as qt
 
@@ -548,7 +554,8 @@ class ChompEngine:
             p, costs = self.step_batched(p)
             return p, costs
 
-        probs, costs = jax.lax.scan(body, probs, None, length=n_iter)
+        probs, costs = jax.lax.scan(body, probs, None, length=n_iter,
+                                    unroll=_ITER_UNROLL)
         return probs, jnp.moveaxis(costs, 0, 1)
 
     # -- drivers -----------------------------------------------------------
