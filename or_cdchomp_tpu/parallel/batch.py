@@ -102,10 +102,20 @@ class BatchSolver:
     solves/s vs 1220 when processed as lax.map over 256-problem
     chunks), so batches that are a multiple of ``chunk`` run chunked
     on single-device meshes.  Set chunk=None to disable.
+
+    The default chunk is 128: the SoA step keeps the batch on the lane
+    axis, and a 128-problem chunk fills exactly one 128-lane vector
+    tile — the r5 sweep measured (10240 problems, flagship workload)
+    chunk 32/64/128/160/256/512/1024 = 4045/4937/5890/4806/5600/4453/
+    3552 solves/s, a sharp optimum at 128.  Chunking only pays once
+    the lax.map pipeline is ≥ ``min_chunks`` long (B=256 as 2×128
+    measured 4909 vs 5012 unchunked; B=384 as 3×128 measured 5138 vs
+    4709 unchunked), so smaller batches run flat.
     """
 
     def __init__(self, engine: ChompEngine, mesh: Optional[Mesh] = None,
-                 axis: str = "dp", chunk: Optional[int] = 256):
+                 axis: str = "dp", chunk: Optional[int] = 128,
+                 min_chunks: int = 3):
         self.engine = engine
         if mesh is None:
             devs = np.asarray(jax.devices())
@@ -114,6 +124,7 @@ class BatchSolver:
         self.mesh = mesh
         self.axis = axis
         self.chunk = chunk
+        self.min_chunks = min_chunks
         self._sharding = NamedSharding(mesh, P(axis))
         self._replicated = NamedSharding(mesh, P())
 
@@ -164,7 +175,7 @@ class BatchSolver:
 
         P_ = int(jax.tree.leaves(probs)[0].shape[0])
         ch = self.chunk
-        if (ch and P_ > ch and P_ % ch == 0
+        if (ch and P_ >= self.min_chunks * ch and P_ % ch == 0
                 and int(np.prod(self.mesh.devices.shape)) == 1):
             folded = jax.tree.map(
                 lambda x: x.reshape((P_ // ch, ch) + x.shape[1:]), probs)
@@ -209,7 +220,7 @@ class BatchSolver:
         # degrade XLA's fusion scheduling inside the scan
         P_ = int(jax.tree.leaves(probs)[0].shape[0])
         ch = self.chunk
-        if (ch and P_ > ch and P_ % ch == 0
+        if (ch and P_ >= self.min_chunks * ch and P_ % ch == 0
                 and int(np.prod(self.mesh.devices.shape)) == 1):
             folded = jax.tree.map(
                 lambda x: x.reshape((P_ // ch, ch) + x.shape[1:]), probs)
