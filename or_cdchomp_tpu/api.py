@@ -355,6 +355,26 @@ def _traj_collision_jit(scenes, inv_poses, x, rad, same_link):
     return env_hits, self_hit
 
 
+@jax.jit
+def _traj_collision_batch_jit(scenes, inv_poses, x, rad, same_link):
+    """Batched sampled collision test (gettraj_batch): per-problem
+    per-body any-hit flags + self-collision.
+    x: (B, T, S, 3) sphere centers; rad: (S,)."""
+    from or_cdchomp_tpu.ops.quat import pose_apply
+
+    hits = []
+    for sc, inv in zip(scenes, inv_poses):
+        d = scene_distance(sc, pose_apply(inv, x))
+        hits.append(jnp.any(d < rad, axis=(1, 2)))          # (B,)
+    env_hits = (jnp.stack(hits)
+                if hits else jnp.zeros((0, x.shape[0]), bool))
+    dist = jnp.linalg.norm(x[:, :, :, None, :] - x[:, :, None, :, :],
+                           axis=-1)
+    rsum = rad[:, None] + rad[None, :]
+    self_hit = jnp.any((dist < rsum) & ~same_link, axis=(1, 2, 3))
+    return env_hits, self_hit
+
+
 _DEFAULTS = dict(  # orcdchomp_mod.cpp:1840-1875
     n_points=101, lambda_=10.0, epsilon=0.1, epsilon_self=0.04,
     obs_factor=200.0, obs_factor_self=10.0, hmc_resample_lambda=0.02,
@@ -1001,6 +1021,134 @@ class CHOMPModule:
             if report:
                 print("Self collision")
             collides = True
+        return collides
+
+    def gettraj_batch(self, run=None, probs=None,
+                      no_collision_check=False, device_chunk=256, **_):
+        """Batch-native gettraj: retime + strict sampled collision
+        re-check for a whole BatchSolver problem batch in one call.
+
+        TPU-first extension beyond the reference (which retimes and
+        checks one run at a time, orcdchomp_mod.cpp:2854-3011): same
+        linear velocity-limit retiming and 0.04-rad sampled validity
+        semantics as :meth:`gettraj`, vectorized over the batch with
+        the FK and sphere checks on device in ``device_chunk``-problem
+        chunks.  ``run`` supplies the robot/scene context the batch was
+        built from; ``probs`` is the (B,)-batched ChompProblem.
+
+        Returns ``(trajs, in_collision)``: a list of B
+        :class:`Trajectory` (each with ``.in_collision`` set) and the
+        (B,) bool array.  Unlike gettraj, no exception is raised on a
+        colliding trajectory — batch callers filter instead.
+        """
+        rn = self.runs[run]
+        spec = rn.spec
+        traj = np.asarray(jax.device_get(probs.traj), dtype=np.float64)
+        B, P = traj.shape[0], traj.shape[1]
+        if spec.floating_base:
+            base, q = traj[:, :, :7], traj[:, :, 7:]
+        else:
+            base, q = None, traj
+
+        # vectorized linear retime (gettraj semantics, per problem)
+        vmax = np.asarray(rn.robot.model.dof_max_vel, dtype=np.float64)
+        dq = np.abs(np.diff(q, axis=1))                    # (B, P-1, n)
+        seg = np.maximum((dq / vmax[None, None, :]).max(axis=2), 1e-6)
+        times = np.concatenate(
+            [np.zeros((B, 1)), np.cumsum(seg, axis=1)], axis=1)
+        base_vel = None
+        if base is not None:
+            base_vel = np.zeros_like(base)
+            base_vel[:, 1:] = (base[:, 1:] - base[:, :-1]) / seg[..., None]
+
+        collides = np.zeros(B, dtype=bool)
+        if not no_collision_check:
+            collides = self._check_traj_collision_batch(
+                rn, q, base, times, seg, device_chunk)
+
+        trajs = []
+        for b in range(B):
+            out = Trajectory(
+                times=times[b], positions=q[b],
+                base_poses=None if base is None else base[b],
+                base_velocities=None if base_vel is None else base_vel[b])
+            out.in_collision = bool(collides[b])
+            trajs.append(out)
+        return trajs, collides
+
+    def _check_traj_collision_batch(self, rn: Run, q, base, times, seg,
+                                    device_chunk):
+        """(B,) sampled validity flags (same ~0.04 rad arc sampling and
+        sphere tests as _check_traj_collision, batched)."""
+        B, P, n = q.shape
+        fk = rn.fk
+        model = rn.robot.model
+        dur = times[:, -1]                                  # (B,)
+        dist = np.linalg.norm(np.diff(q, axis=1), axis=2).sum(axis=1)
+        active = dist > 0
+        step = np.where(active, dur * 0.04 / np.maximum(dist, 1e-300),
+                        np.inf)
+        n_samp = np.where(active,
+                          np.ceil(dur / np.maximum(step, 1e-9)), 1)
+        T_s = int(max(1, n_samp.max()))
+
+        scenes, invs = [], []
+        for b in self.bodies.values():
+            if not b.enabled or b.grabbed_by == rn.robot.name:
+                continue
+            scenes.append(b.scene)
+            invs.append(jnp.asarray(
+                np_pose.invert(self._body_world_pose(b)), dtype=fk.dtype))
+        rad = jnp.asarray(model.sphere_radius, dtype=fk.dtype)
+        same = jnp.asarray(rn.robot.check_exclude_mask())
+
+        collides = np.zeros(B, dtype=bool)
+        for lo in range(0, B, device_chunk):
+            hi = min(lo + device_chunk, B)
+            nb = hi - lo
+            # per-problem uniform-in-time samples; indices past the
+            # problem's own sample count collapse to t=0 (a sample the
+            # per-run path checks anyway) so parity with gettraj's
+            # arange(0, duration, step) is exact
+            si = np.arange(T_s)[None, :]
+            ts = np.where(si < n_samp[lo:hi, None],
+                          si * step[lo:hi, None], 0.0)     # (nb, T_s)
+            ts = np.minimum(ts, dur[lo:hi, None])
+            # batched Trajectory.sample: idx = last waypoint time <= t
+            idx = (times[lo:hi, None, :] <= ts[:, :, None]).sum(-1) - 1
+            idx = np.clip(idx, 0, P - 2)
+            bi = np.arange(nb)[:, None]
+            dt = np.take_along_axis(times[lo:hi], idx + 1, 1) \
+                - np.take_along_axis(times[lo:hi], idx, 1)
+            a = np.where(dt > 0,
+                         (ts - np.take_along_axis(times[lo:hi], idx, 1))
+                         / np.where(dt > 0, dt, 1.0), 0.0)
+            qs = ((1 - a[..., None]) * q[lo:hi][bi, idx]
+                  + a[..., None] * q[lo:hi][bi, idx + 1])  # (nb, T_s, n)
+            if base is not None:
+                bp = ((1 - a[..., None]) * base[lo:hi][bi, idx]
+                      + a[..., None] * base[lo:hi][bi, idx + 1])
+                # normalize only the quaternion part (np_pose.normalize
+                # semantics, vectorized)
+                bp = np.concatenate(
+                    [bp[..., :3],
+                     bp[..., 3:] / np.linalg.norm(bp[..., 3:], axis=-1,
+                                                  keepdims=True)], -1)
+            else:
+                bp = np.broadcast_to(np.asarray(rn.robot.pose),
+                                     (nb, T_s, 7))
+            x = fk.sphere_positions_jit(
+                jnp.asarray(qs.reshape(nb * T_s, n), dtype=fk.dtype),
+                jnp.asarray(np.ascontiguousarray(
+                    bp.reshape(nb * T_s, 7)), dtype=fk.dtype))
+            S = x.shape[-2]
+            x = x.reshape(nb, T_s, S, 3)
+            env_hits, self_hit = _traj_collision_batch_jit(
+                tuple(scenes), tuple(invs), x, rad, same)
+            hit = np.asarray(self_hit)
+            if env_hits.shape[0]:
+                hit = hit | np.asarray(env_hits).any(axis=0)
+            collides[lo:hi] = hit & active[lo:hi]
         return collides
 
     # ----- string transport (orcwrap parity) ------------------------------
