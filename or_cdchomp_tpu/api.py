@@ -1024,7 +1024,7 @@ class CHOMPModule:
         return collides
 
     def gettraj_batch(self, run=None, probs=None,
-                      no_collision_check=False, device_chunk=256, **_):
+                      no_collision_check=False, device_chunk=2048, **_):
         """Batch-native gettraj: retime + strict sampled collision
         re-check for a whole BatchSolver problem batch in one call.
 
@@ -1040,6 +1040,12 @@ class CHOMPModule:
         :class:`Trajectory` (each with ``.in_collision`` set) and the
         (B,) bool array.  Unlike gettraj, no exception is raised on a
         colliding trajectory — batch callers filter instead.
+
+        ``device_chunk=2048`` is the measured optimum on the 10k
+        flagship batch (512/1024/2048/4096/10240 → 2291/2530/3196/
+        2812/2310 checks/s): chunking lets the host-side interpolation
+        of chunk k+1 overlap the device FK+check of chunk k, while
+        over-large chunks lose the overlap and stress host memory.
         """
         rn = self.runs[run]
         spec = rn.spec
