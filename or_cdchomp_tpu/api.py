@@ -1092,8 +1092,10 @@ class CHOMPModule:
         dur = times[:, -1]                                  # (B,)
         dist = np.linalg.norm(np.diff(q, axis=1), axis=2).sum(axis=1)
         active = dist > 0
+        # inactive (zero-length) problems get step 0 → all samples at
+        # t=0; their verdict is masked to False below regardless
         step = np.where(active, dur * 0.04 / np.maximum(dist, 1e-300),
-                        np.inf)
+                        0.0)
         n_samp = np.where(active,
                           np.ceil(dur / np.maximum(step, 1e-9)), 1)
         T_s = int(max(1, n_samp.max()))

@@ -101,6 +101,29 @@ def test_gettraj_batch_flags_forced_collision(world):
     mod.destroy(run=run)
 
 
+def test_gettraj_batch_degenerate_and_nocheck(world):
+    """A zero-length trajectory (start == goal) is not colliding (the
+    per-run path early-returns False on total_dist == 0), and
+    no_collision_check=True skips the check entirely."""
+    mod = world
+    run = mod.create(robot="wam", adofgoal=GOAL, n_points=21,
+                     lambda_=100.0, obs_factor=500.0)
+    probs = _batch(mod, run, B=2)
+    t = np.asarray(probs.traj).copy()
+    t[0, :] = t[0, 0]                 # problem 0: all waypoints equal
+    probs = probs._replace(traj=jnp.asarray(t))
+
+    trajs, flags = mod.gettraj_batch(run=run, probs=probs)
+    assert not flags[0] and not trajs[0].in_collision
+    # seg floor 1e-6 keeps the retime finite, like the per-run path
+    assert np.isfinite(trajs[0].times).all()
+
+    _, flags_nc = mod.gettraj_batch(run=run, probs=probs,
+                                    no_collision_check=True)
+    assert not flags_nc.any()
+    mod.destroy(run=run)
+
+
 def test_gettraj_batch_floating_base(world):
     mod = world
     basegoal = np.array([0.3, 0.1, 0.0, 0.0, 0.0, 0.38268343, 0.92387953])
